@@ -1,0 +1,55 @@
+"""gpsat_tpu — a TPU-native local-expert Gaussian-process optimal-interpolation engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of GPSat
+(reference: /root/reference, akpetty/GPSat): thousands of independent local GP
+experts trained and predicted as *batched, vmapped, sharded* device computations
+instead of a sequential per-expert Python loop
+(reference loop: GPSat/local_experts.py:930).
+
+Layout
+------
+- ``gpsat_tpu.ops``       : batched masked GP math (kernels, exact GPR, SGPR,
+                            SVGP, VFF), bijectors, batched L-BFGS.
+- ``gpsat_tpu.models``    : the model zoo with the reference's per-expert API
+                            (predict / optimise_parameters / get_* / set_*).
+- ``gpsat_tpu.parallel``  : device mesh utilities + sharded expert scheduling.
+- ``gpsat_tpu.dataloader``: host-side tabular IO & query (pandas + h5py).
+- ``gpsat_tpu.store``     : HDF5 results store (h5py-backed table format).
+- ``gpsat_tpu.local_experts``: the experiment engine (batched scheduler).
+- ``gpsat_tpu.postprocessing``: hyperparameter smoothing + prediction gluing.
+"""
+
+import os
+
+# GP numerics want float64 available (GPflow-style default); hot TPU paths pass
+# float32 arrays explicitly. Must happen before jax initialises its backends.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+import jax  # noqa: E402
+
+if not jax.config.jax_enable_x64:  # pragma: no cover - depends on env ordering
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+_PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
+_PARENT_DIR = os.path.dirname(_PACKAGE_DIR)
+
+
+def get_path(*sub_dir):
+    """Path inside the package directory (reference: GPSat/__init__.py:13)."""
+    return os.path.join(_PACKAGE_DIR, *sub_dir)
+
+
+def get_parent_path(*sub_dir):
+    """Path inside the repository root (reference: GPSat/__init__.py:16)."""
+    return os.path.join(_PARENT_DIR, *sub_dir)
+
+
+def get_data_path(*sub_dir):
+    """Path inside <repo>/data (reference: GPSat/__init__.py:19)."""
+    return os.path.join(_PARENT_DIR, "data", *sub_dir)
+
+
+def get_config_path(*sub_dir):
+    """Path inside <repo>/configs (reference: GPSat/__init__.py:22)."""
+    return os.path.join(_PARENT_DIR, "configs", *sub_dir)
