@@ -29,6 +29,19 @@ import jax  # noqa: E402
 if not jax.config.jax_enable_x64:  # pragma: no cover - depends on env ordering
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the batched L-BFGS programs are expensive
+# to compile (~1-2 min each) but fully shape-keyed — cache them across runs.
+_cache_dir = os.environ.get(
+    "GPSAT_TPU_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "gpsat_tpu_jax"))
+if _cache_dir and _cache_dir != "0":
+    try:  # pragma: no cover - depends on jax version/backend
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 __version__ = "0.1.0"
 
 _PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
