@@ -1,0 +1,673 @@
+"""LocalExpertOI — the experiment engine, re-designed around batched device
+execution.
+
+Reference behaviour (GPSat/local_experts.py:116,761): a sequential Python loop
+builds, optimises, predicts and destroys one GPflow model per expert location.
+Here the sweep is split into phases:
+
+1. host gather    — group experts by global-data `where`, load each group's
+                    data once, KD-select per-expert local data + prediction
+                    locations (vectorised KD queries);
+2. bucketise      — group experts into padded (N_obs, N_pred) buckets
+                    (gpsat_tpu.parallel.scheduler);
+3. device execute — one compiled batched L-BFGS fit + masked batched posterior
+                    per bucket (gpsat_tpu.models.batched), sharded over the
+                    'experts' mesh axis when multiple devices are present;
+4. store          — append preds / run_details / per-parameter tables with the
+                    reference's HDF5 schema (multi-index on expert coords,
+                    `table_suffix` namespacing, config identity, resume).
+
+Semantics preserved from the reference: min_obs skipping (recorded for
+restart), config-id provenance, anti-join resume, load_params re-prediction,
+constraint handling incl. coords_scale'd lengthscale bounds. Deliberately
+changed: the ρ=0.95 sequential warm-start EMA (GPSat/local_experts.py:1208) has
+no batched equivalent — use load_params/smoothed-parameter reruns instead.
+"""
+
+import json
+import time
+import warnings
+from dataclasses import dataclass
+from typing import Union
+
+import numpy as np
+import pandas as pd
+
+import jax
+
+from gpsat_tpu.dataloader import DataLoader
+from gpsat_tpu.models import get_model
+from gpsat_tpu.models.batched import BatchedGPR
+from gpsat_tpu.parallel.mesh import get_mesh, shard_experts
+from gpsat_tpu.parallel.scheduler import make_buckets
+from gpsat_tpu.prediction_locations import PredictionLocations
+from gpsat_tpu.store import ResultsStore
+from gpsat_tpu.utils import (check_prev_oi_config, cprint, get_previous_oi_config,
+                             json_serializable, pandas_to_dict,
+                             pretty_print_class, nested_dict_literal_eval)
+
+__all__ = ["LocalExpertOI", "LocalExpertData", "get_results_from_h5file"]
+
+
+@dataclass
+class LocalExpertData:
+    """Observation source + selection spec (reference: GPSat/local_experts.py:43)."""
+    obs_col: Union[str, None] = None
+    coords_col: Union[list, None] = None
+    global_select: Union[list, None] = None
+    local_select: Union[list, None] = None
+    where: Union[list, None] = None
+    row_select: Union[list, None] = None
+    col_select: Union[list, None] = None
+    col_funcs: Union[dict, None] = None
+    table: Union[str, None] = None
+    data_source: object = None
+    engine: Union[str, None] = None
+    read_kwargs: Union[dict, None] = None
+
+    def set_data_source(self, verbose=False):
+        kwargs = self.read_kwargs or {}
+        if isinstance(self.data_source, str):
+            self.data_source = DataLoader._get_source_from_str(
+                self.data_source, _engine=self.engine, **kwargs)
+
+    def load(self, where=None, verbose=False, **kwargs):
+        if isinstance(self.data_source, str):
+            self.set_data_source(verbose=verbose)
+        use_where = list(self.where) if self.where is not None else None
+        if where is not None:
+            where = where if isinstance(where, list) else [where]
+            use_where = where if use_where is None else use_where + where
+        return DataLoader.load(source=self.data_source, where=use_where,
+                               table=self.table, col_funcs=self.col_funcs,
+                               row_select=self.row_select,
+                               col_select=self.col_select, engine=self.engine,
+                               source_kwargs=self.read_kwargs, verbose=verbose,
+                               **kwargs)
+
+
+def _device_name():
+    try:
+        d = jax.devices()[0]
+        return f"{d.platform}:{d.device_kind}"
+    except Exception:
+        return "unknown"
+
+
+class LocalExpertOI:
+    """Main interface for a local-expert optimal-interpolation experiment."""
+
+    def __init__(self, expert_loc_config=None, data_config=None,
+                 model_config=None, pred_loc_config=None,
+                 locations=None, data=None, model=None, pred_loc=None):
+        # legacy argument names accepted like the reference
+        expert_loc_config = expert_loc_config if expert_loc_config is not None else locations
+        data_config = data_config if data_config is not None else data
+        model_config = model_config if model_config is not None else model
+        pred_loc_config = pred_loc_config if pred_loc_config is not None else pred_loc
+
+        self.config = {}
+        self.data = None
+        self.model = None
+        self.pred_loc = None
+        self.expert_locs = None
+
+        if data_config is not None:
+            self.set_data(**data_config)
+        if model_config is not None:
+            self.set_model(**model_config)
+        if expert_loc_config is not None:
+            self.set_expert_locations(**expert_loc_config)
+        if pred_loc_config is not None:
+            self.set_pred_loc(**(pred_loc_config or {}))
+
+    # ------------------------------------------------------------------
+    # configuration
+    # ------------------------------------------------------------------
+
+    def set_data(self, **kwargs):
+        self.config["data"] = json_serializable(dict(kwargs))
+        self.data = LocalExpertData(**kwargs)
+        if isinstance(self.data.data_source, str):
+            self.data.set_data_source()
+
+    def set_model(self, oi_model=None, init_params=None, constraints=None,
+                  load_params=None, optim_kwargs=None, pred_kwargs=None,
+                  params_to_store=None, replacement_threshold=None,
+                  replacement_model=None, replacement_init_params=None,
+                  replacement_constraints=None, replacement_optim_kwargs=None,
+                  replacement_pred_kwargs=None):
+        self.config["model"] = json_serializable(dict(
+            oi_model=oi_model, init_params=init_params, constraints=constraints,
+            load_params=load_params, optim_kwargs=optim_kwargs,
+            pred_kwargs=pred_kwargs, params_to_store=params_to_store,
+            replacement_threshold=replacement_threshold,
+            replacement_model=replacement_model))
+        self.model = oi_model
+        if isinstance(self.model, str):
+            self.model = get_model(self.model)
+        elif isinstance(self.model, dict):
+            import importlib, sys
+            sys.path.append(self.model["path_to_model"])
+            module = importlib.import_module(self.model["path_to_model"])
+            self.model = getattr(module, self.model["model_name"])
+        self.model_init_params = {} if init_params is None else dict(init_params)
+        self.constraints = constraints
+        self.model_load_params = load_params
+        self.optim_kwargs = {} if optim_kwargs is None else dict(optim_kwargs)
+        self.pred_kwargs = {} if pred_kwargs is None else dict(pred_kwargs)
+        self.params_to_store = None if params_to_store in (None, "all") else params_to_store
+        if replacement_threshold is not None:
+            # batched engines pad ragged experts, so a cheaper replacement
+            # model for small experts is unnecessary; accepted for config
+            # compatibility (reference: GPSat/local_experts.py:339-346)
+            warnings.warn("replacement_model/threshold accepted but ignored: "
+                          "the batched scheduler handles small experts directly")
+
+    def set_expert_locations(self, df=None, file=None, source=None, where=None,
+                             add_data_to_col=None, col_funcs=None,
+                             keep_cols=None, col_select=None, row_select=None,
+                             sort_by=None, reset_index=False,
+                             source_kwargs=None, verbose=False, **kwargs):
+        if (col_select is None) and (keep_cols is not None):
+            col_select = keep_cols
+        if source is None and df is not None:
+            source = df
+        if source is None and file is not None:
+            source = file
+        if source is None:
+            return None
+        self.config["locations"] = json_serializable(dict(
+            source=source if isinstance(source, str) else "<dataframe>",
+            where=where, col_funcs=col_funcs, col_select=col_select,
+            row_select=row_select, sort_by=sort_by))
+        locs = DataLoader.load(source=source, where=where,
+                               source_kwargs=source_kwargs, col_funcs=col_funcs,
+                               row_select=row_select, col_select=col_select,
+                               reset_index=reset_index,
+                               add_data_to_col=add_data_to_col,
+                               verbose=verbose, **kwargs)
+        if sort_by:
+            locs = locs.sort_values(sort_by)
+        self.expert_locs = locs.reset_index(drop=True)
+
+    def set_pred_loc(self, **kwargs):
+        self.config["pred_loc"] = json_serializable(
+            {k: (v if not isinstance(v, pd.DataFrame) else "<dataframe>")
+             for k, v in kwargs.items()})
+        self.pred_loc = PredictionLocations(**kwargs)
+        if isinstance(self.data, LocalExpertData):
+            self.pred_loc.coords_col = self.data.coords_col
+
+    # ------------------------------------------------------------------
+    # resume helpers (reference: GPSat/local_experts.py:475-497)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _remove_previously_run_locations(store_path, xprt_locs,
+                                         table="run_details"):
+        try:
+            with ResultsStore(store_path, mode="r") as store:
+                if not store.has_table(table):
+                    return xprt_locs
+                prev = store.select(table)
+            idx_names = [n for n in prev.index.names if n is not None]
+            if not idx_names:
+                return xprt_locs
+            prev = prev.reset_index()[idx_names].drop_duplicates()
+            tmp = xprt_locs.merge(prev, how="left", on=idx_names,
+                                  indicator="found_already")
+            keep = tmp["found_already"] == "left_only"
+            print(f"for table: {table} returning {keep.sum()} / {len(keep)} entries")
+            return xprt_locs.loc[keep.values].copy(True)
+        except (OSError, KeyError, FileNotFoundError) as e:
+            return xprt_locs
+
+    # ------------------------------------------------------------------
+    # parameter loading (for smoothed re-prediction etc.)
+    # ------------------------------------------------------------------
+
+    def _load_param_overrides(self, xprt_locs, coords_col, engine,
+                              file, table_suffix="", param_names=None,
+                              index_adjust=None, **unused):
+        """Read per-expert parameter tables and align them to xprt_locs.
+
+        Returns (overrides: {param: [E, ...] array with NaN where missing},
+        have_all: [E] bool). Reference equivalent:
+        GPSat/local_experts.py:553-689 (_read_params_from_file), vectorised to
+        one table read per parameter instead of one HDF5 select per expert.
+        """
+        if param_names is None:
+            param_names = engine.param_names
+        E = len(xprt_locs)
+        overrides, have = {}, np.ones(E, dtype=bool)
+        key_df = xprt_locs[coords_col].reset_index(drop=True)
+
+        with ResultsStore(file, mode="r") as store:
+            for pn in param_names:
+                tname = f"{pn}{table_suffix}"
+                if not store.has_table(tname):
+                    warnings.warn(f"param table {tname} not found in {file}")
+                    have[:] = False
+                    continue
+                df = store.select(tname).reset_index()
+                dim_cols = sorted([c for c in df.columns if c.startswith("_dim_")])
+                shape = engine.param_shape(pn)
+                size = int(np.prod(shape)) if shape else 1
+                arr = np.full((E, size), np.nan)
+                if dim_cols:
+                    piv = df.pivot_table(index=coords_col, columns=dim_cols,
+                                         values=pn, aggfunc="last")
+                else:
+                    piv = df.set_index(coords_col)[[pn]]
+                merged = key_df.merge(piv.reset_index(), on=coords_col, how="left")
+                vals = merged.drop(columns=coords_col).values
+                arr[:, :min(size, vals.shape[1])] = vals[:, :size]
+                overrides[pn] = arr.reshape((E,) + (shape if shape else ()))
+                have &= ~np.isnan(arr).any(axis=1)
+        return overrides, have
+
+    # ------------------------------------------------------------------
+    # the batched sweep
+    # ------------------------------------------------------------------
+
+    def run(self, store_path=None, store_every=10, check_config_compatible=True,
+            skip_valid_checks_on=None, optimise=True, predict=True, min_obs=3,
+            table_suffix="", batch_size=None, use_mesh=True, verbose=True):
+        """Full sweep: train + predict every expert location, batched.
+
+        API and store schema match the reference's run
+        (GPSat/local_experts.py:761); `batch_size`/`use_mesh` are new knobs for
+        the batched scheduler.
+        """
+        self.config["run_kwargs"] = json_serializable(dict(
+            store_path=store_path, store_every=store_every,
+            check_config_compatible=check_config_compatible,
+            skip_valid_checks_on=skip_valid_checks_on, optimise=optimise,
+            predict=predict, min_obs=min_obs, table_suffix=table_suffix))
+
+        assert isinstance(self.expert_locs, pd.DataFrame), \
+            f"expert_locs is {type(self.expert_locs)}, expected DataFrame"
+        assert self.data is not None and self.data.data_source is not None, \
+            "'data_source' is None"
+        assert self.model is not None, "'model' is None"
+        assert isinstance(store_path, str), "store_path must be provided"
+        min_obs = max(1, int(min_obs))
+
+        t_start = time.perf_counter()
+        coords_col = self.data.coords_col
+        obs_col = self.data.obs_col if not isinstance(self.data.obs_col, list) \
+            else self.data.obs_col[0]
+
+        # -- config identity + resume ------------------------------------
+        prev_oi_config, skip_valid_checks_on, config_id = get_previous_oi_config(
+            store_path, oi_config=self.config,
+            skip_valid_checks_on=skip_valid_checks_on,
+            table_name=f"oi_config{table_suffix}")
+        if check_config_compatible:
+            check_prev_oi_config(prev_oi_config, oi_config=self.config,
+                                 skip_valid_checks_on=skip_valid_checks_on)
+
+        store_locs = self._remove_previously_run_locations(
+            store_path, self.expert_locs.copy(True),
+            table=f"expert_locs{table_suffix}")
+        if len(store_locs):
+            with ResultsStore(store_path, mode="a") as store:
+                store.append(f"expert_locs{table_suffix}",
+                             store_locs.set_index(coords_col))
+
+        xprt_locs = self._remove_previously_run_locations(
+            store_path, self.expert_locs.copy(True),
+            table=f"run_details{table_suffix}")
+        E = len(xprt_locs)
+        if E == 0:
+            print("no new expert locations to run")
+            return None
+        xprt_locs = xprt_locs.reset_index(drop=True)
+
+        # -- build the batched engine -------------------------------------
+        init_params = dict(self.model_init_params)
+        coords_scale = np.atleast_2d(init_params.get("coords_scale", 1.0)).astype(float)
+        obs_scale = np.atleast_2d(init_params.get("obs_scale", 1.0)).astype(float)
+        obs_mean_cfg = init_params.get("obs_mean", None)
+
+        constraints = None
+        if self.constraints is not None and isinstance(self.constraints, dict):
+            constraints = {k: dict(v) for k, v in self.constraints.items()}
+            # coords_scale implies scaled lengthscale bounds
+            # (reference: GPSat/local_experts.py:1110-1115)
+            if init_params.get("coords_scale") is not None and \
+                    "lengthscales" in constraints:
+                constraints["lengthscales"]["scale"] = True
+
+        engine = self._make_engine(init_params, constraints, coords_col)
+
+        # -- phase 1: host gather -----------------------------------------
+        gather_t0 = time.perf_counter()
+        local_idx, local_dfs, group_of_expert = self._gather_local_data(
+            xprt_locs, coords_col)
+        pred_coords = self._gather_pred_locations(xprt_locs, coords_col,
+                                                  predict=predict)
+        n_obs = np.array([len(ix) for ix in local_idx])
+        n_pred = np.array([0 if pc is None else len(pc) for pc in pred_coords])
+        gather_time = time.perf_counter() - gather_t0
+        if verbose:
+            cprint(f"gather phase: {gather_time:.2f}s; experts: {E}, "
+                   f"median obs: {np.median(n_obs):.0f}, "
+                   f"median preds: {np.median(n_pred):.0f}", "OKCYAN")
+
+        # -- parameter loading --------------------------------------------
+        overrides, have_params = None, np.ones(E, dtype=bool)
+        save_params = True
+        if self.model_load_params is not None:
+            lp = dict(self.model_load_params)
+            if lp.get("previous", False):
+                warnings.warn("load_params['previous'] (sequential warm start) "
+                              "is not supported by the batched scheduler; "
+                              "ignoring")
+            elif lp.get("file") is not None:
+                overrides, have_params = self._load_param_overrides(
+                    xprt_locs, coords_col, engine, **lp)
+                same_table = (lp.get("file") == store_path and
+                              lp.get("table_suffix", "") == table_suffix)
+                save_params = not (same_table and (not optimise))
+
+        # -- phase 2: classify experts ------------------------------------
+        runnable = (n_obs >= min_obs) & have_params
+        if predict:
+            has_pred = n_pred > 0
+        else:
+            has_pred = np.ones(E, dtype=bool)
+        skip_no_pred = ~has_pred          # reference 'continue's silently
+        too_few = (n_obs < min_obs) & has_pred
+        run_ids = np.where(runnable & has_pred)[0]
+
+        store_buffer = {}
+        device = _device_name()
+        model_name = pretty_print_class(self.model)[:64]
+
+        # record too-few-obs experts so restarts skip them
+        # (reference: GPSat/local_experts.py:988-1012)
+        for i in np.where(too_few)[0]:
+            rd = self._run_details_row(xprt_locs.iloc[i], coords_col,
+                                       num_obs=int(n_obs[i]), run_time=np.nan,
+                                       objective=np.nan, optimise=optimise,
+                                       success=False, model_name=model_name,
+                                       device="", config_id=config_id)
+            self._buffer(store_buffer, "run_details", rd)
+
+        # -- phase 3: bucket + execute ------------------------------------
+        n_dev = len(jax.devices())
+        mesh = get_mesh() if (use_mesh and n_dev > 1) else None
+        buckets = make_buckets(n_obs[run_ids],
+                               n_pred[run_ids] if predict else np.zeros(len(run_ids), int),
+                               batch_size=batch_size,
+                               multiple_of=n_dev if mesh is not None else 1)
+        if verbose:
+            cprint(f"{len(run_ids)} experts in {len(buckets)} buckets "
+                   f"(devices: {n_dev})", "OKCYAN")
+
+        total_experts_done = 0
+        for bk in buckets:
+            t0 = time.perf_counter()
+            ids = run_ids[bk["indices"]]
+            B, Nmax, Pmax = bk["batch_pad"], bk["n_max"], bk["p_max"]
+            d = len(coords_col)
+
+            X = np.zeros((B, Nmax, d))
+            y = np.zeros((B, Nmax))
+            mask = np.zeros((B, Nmax), dtype=bool)
+            Xs = np.zeros((B, max(Pmax, 1), d)) if predict else None
+            f_bar = np.zeros(B)
+
+            for bi, ei in enumerate(ids):
+                gdf = local_dfs[group_of_expert[ei]]
+                rows = local_idx[ei]
+                n = len(rows)
+                X[bi, :n] = gdf.loc[rows, coords_col].values / coords_scale
+                obs = gdf.loc[rows, obs_col].values.astype(float)
+                if obs_mean_cfg == "local":
+                    f_bar[bi] = obs.mean()
+                elif obs_mean_cfg is not None:
+                    f_bar[bi] = float(np.asarray(obs_mean_cfg).reshape(-1)[0])
+                y[bi, :n] = (obs - f_bar[bi]) / obs_scale[0, 0]
+                mask[bi, :n] = True
+                if predict and pred_coords[ei] is not None:
+                    pc = pred_coords[ei]
+                    Xs[bi, :len(pc)] = pc / coords_scale
+
+            ov = None
+            if overrides is not None:
+                ov = {k: v[ids] if len(ids) == B else
+                      np.concatenate([v[ids], np.full((B - len(ids),) + v.shape[1:],
+                                                      np.nan)], axis=0)
+                      for k, v in overrides.items()}
+
+            if mesh is not None:
+                X, y, mask = shard_experts((X, y, mask), mesh)
+                if Xs is not None:
+                    (Xs,) = shard_experts((Xs,), mesh)
+
+            result = engine.fit_predict(X, y, mask, Xs=Xs, optimise=optimise,
+                                        predict=predict, param_overrides=ov)
+            bucket_time = time.perf_counter() - t0
+            per_expert_time = bucket_time / max(len(ids), 1)
+            total_experts_done += len(ids)
+
+            self._store_bucket_results(
+                store_buffer, result, ids, xprt_locs, coords_col, n_obs,
+                n_pred, pred_coords, f_bar, per_expert_time, optimise,
+                predict, save_params, model_name, device, config_id)
+
+            self._flush(store_buffer, store_path, table_suffix)
+            if verbose:
+                cprint(f"bucket N={Nmax} P={Pmax} B={len(ids)}: "
+                       f"{bucket_time:.2f}s "
+                       f"({len(ids)/bucket_time:.1f} experts/s)", "OKGREEN")
+
+        # flush remaining (e.g. only skip records)
+        self._flush(store_buffer, store_path, table_suffix, force=True)
+        if verbose:
+            cprint(f"'run': {time.perf_counter() - t_start:.3f} seconds "
+                   f"({total_experts_done} experts)", "OKGREEN")
+        return None
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _make_engine(self, init_params, constraints, coords_col):
+        ip = {k: v for k, v in init_params.items()
+              if k not in ("coords_scale", "obs_scale", "obs_mean")}
+        return BatchedGPR(coords_dim=len(coords_col),
+                          constraints=constraints,
+                          coords_scale=init_params.get("coords_scale"),
+                          optim_kwargs=self.optim_kwargs, **ip)
+
+    def _gather_local_data(self, xprt_locs, coords_col):
+        """Group experts by global where-list; load each group's data once and
+        KD-select per-expert local row indices."""
+        E = len(xprt_locs)
+        global_select = self.data.global_select or []
+        local_select = self.data.local_select or []
+
+        group_key, group_where = [], {}
+        for i in range(E):
+            rl = xprt_locs.iloc[[i]]
+            where = DataLoader.get_where_list(global_select,
+                                              local_select=local_select,
+                                              ref_loc=rl)
+            key = json.dumps(json_serializable(where), sort_keys=True)
+            group_key.append(key)
+            group_where[key] = where
+
+        local_dfs, group_of_expert, local_idx = {}, [None] * E, [None] * E
+        for key, where in group_where.items():
+            members = [i for i in range(E) if group_key[i] == key]
+            df = self.data.load(where=where if where else None,
+                                reset_index=True)
+            local_dfs[key] = df
+            kdts = DataLoader.kdt_tree_list_for_local_select(df, local_select) \
+                if local_select else None
+            for i in members:
+                rl = xprt_locs.iloc[[i]]
+                sel = DataLoader.local_data_select(
+                    df, reference_location=rl, local_select=local_select,
+                    kdtree=kdts, verbose=False)
+                local_idx[i] = sel.index.values
+                group_of_expert[i] = key
+        return local_idx, local_dfs, group_of_expert
+
+    def _gather_pred_locations(self, xprt_locs, coords_col, predict=True):
+        """Per-expert prediction coordinate arrays (raw units)."""
+        E = len(xprt_locs)
+        if not predict or self.pred_loc is None:
+            return [None] * E
+        out = []
+        for i in range(E):
+            self.pred_loc.expert_loc = xprt_locs.iloc[[i]]
+            pc = self.pred_loc()
+            out.append(pc if len(pc) else None)
+        return out
+
+    @staticmethod
+    def _run_details_row(rl, coords_col, num_obs, run_time, objective,
+                         optimise, success, model_name, device, config_id):
+        midx = pd.MultiIndex.from_tuples(
+            [tuple(rl[coords_col].values.reshape(-1))], names=coords_col)
+        return pd.DataFrame({
+            "num_obs": [num_obs], "run_time": [run_time],
+            "objective_value": [objective], "parameters_optimised": [optimise],
+            "optimise_success": [success], "model": [model_name],
+            "device": [device], "config_id": [config_id]}, index=midx)
+
+    def _store_bucket_results(self, buffer, result, ids, xprt_locs, coords_col,
+                              n_obs, n_pred, pred_coords, f_bar,
+                              per_expert_time, optimise, predict, save_params,
+                              model_name, device, config_id):
+        b_valid = len(ids)
+        params = result["params"]
+        objective = result["objective"]
+        converged = result["converged"]
+        preds = result["preds"]
+
+        # run_details ------------------------------------------------------
+        exp_coords = xprt_locs.loc[ids, coords_col].values
+        midx = pd.MultiIndex.from_arrays(exp_coords.T, names=coords_col)
+        rd = pd.DataFrame({
+            "num_obs": n_obs[ids].astype(int),
+            "run_time": np.full(b_valid, per_expert_time),
+            "objective_value": objective[:b_valid],
+            "parameters_optimised": np.full(b_valid, bool(optimise)),
+            "optimise_success": (converged[:b_valid] if optimise
+                                 else np.zeros(b_valid, dtype=bool)),
+            "model": model_name, "device": device, "config_id": config_id,
+        }, index=midx)
+        self._buffer(buffer, "run_details", rd)
+
+        # per-parameter tables --------------------------------------------
+        if save_params:
+            pts = self.params_to_store
+            for pn, vals in params.items():
+                if pts is not None and pn not in pts:
+                    continue
+                v = np.asarray(vals)[:b_valid]
+                if v.ndim == 1:
+                    pdf = pd.DataFrame({"_dim_0": 0, pn: v}, index=midx)
+                else:
+                    D = v.shape[1]
+                    rep_idx = pd.MultiIndex.from_arrays(
+                        np.repeat(exp_coords, D, axis=0).T, names=coords_col)
+                    pdf = pd.DataFrame({"_dim_0": np.tile(np.arange(D), b_valid),
+                                        pn: v.reshape(-1)}, index=rep_idx)
+                self._buffer(buffer, pn, pdf)
+
+        # predictions ------------------------------------------------------
+        if predict and preds:
+            frames = []
+            for bi, ei in enumerate(ids):
+                pc = pred_coords[ei]
+                if pc is None:
+                    continue
+                P = len(pc)
+                row_idx = pd.MultiIndex.from_arrays(
+                    np.repeat(exp_coords[bi][None, :], P, axis=0).T,
+                    names=coords_col)
+                data = {"_dim_0": np.arange(P)}
+                for k in ("f*", "f*_var", "y_var"):
+                    data[k] = np.asarray(preds[k])[bi, :P]
+                data["f_bar"] = np.full(P, f_bar[bi])
+                for ci, c in enumerate(coords_col):
+                    data[f"pred_loc_{c}"] = pc[:, ci]
+                frames.append(pd.DataFrame(data, index=row_idx))
+            if frames:
+                self._buffer(buffer, "preds", pd.concat(frames, axis=0))
+
+    @staticmethod
+    def _buffer(buffer, table, df):
+        buffer.setdefault(table, []).append(df)
+
+    @staticmethod
+    def _flush(buffer, store_path, table_suffix, force=True):
+        if not buffer:
+            return
+        with ResultsStore(store_path, mode="a") as store:
+            for table, dfs in buffer.items():
+                df = pd.concat(dfs, axis=0)
+                store.append(f"{table}{table_suffix}", df)
+        buffer.clear()
+
+
+# ---------------------------------------------------------------------------
+# results reading (reference: GPSat/local_experts.py:1467)
+# ---------------------------------------------------------------------------
+
+def get_results_from_h5file(results_file, global_col_funcs=None,
+                            merge_on_expert_locations=True, select_tables=None,
+                            table_suffix="", add_suffix_to_table=True,
+                            verbose=False):
+    """Read all (or selected) tables + stored oi_config list from a results
+    store. Returns (dict of DataFrames, list of config dicts)."""
+    if select_tables is not None and add_suffix_to_table:
+        select_tables = [f"{t}{table_suffix}" for t in select_tables]
+
+    dfs, oi_config = {}, []
+    with ResultsStore(results_file, mode="r") as store:
+        keys = store.keys()
+        cfg_table = f"oi_config{table_suffix}"
+        if cfg_table in keys:
+            cdf = store.select(cfg_table).reset_index(drop=True)
+            cdf = cdf[["config"]].drop_duplicates()
+            oi_config = [nested_dict_literal_eval(json.loads(c))
+                         for c in cdf["config"].values]
+        for k in keys:
+            if select_tables is not None and k not in select_tables:
+                continue
+            try:
+                dfs[k] = store.select(k).reset_index()
+            except Exception as e:
+                print(f"issue reading table {k}: {e}")
+
+    if global_col_funcs is not None:
+        for k in dfs:
+            try:
+                DataLoader.add_cols(df=dfs[k], col_func_dict=global_col_funcs)
+            except Exception as e:
+                print(f"col_funcs failed on table {k}: {e}")
+
+    expert_locations = None
+    el_table = f"expert_locs{table_suffix}"
+    if el_table in dfs:
+        expert_locations = dfs[el_table].copy(True)
+    if expert_locations is not None and merge_on_expert_locations:
+        try:
+            coords_col = oi_config[0]["data"]["coords_col"]
+        except (IndexError, KeyError):
+            coords_col = None
+        if coords_col:
+            for k in dfs:
+                if np.isin(coords_col, dfs[k].columns).all():
+                    dfs[k] = dfs[k].merge(expert_locations, on=coords_col,
+                                          how="left",
+                                          suffixes=["", "_expert_location"])
+    return dfs, oi_config

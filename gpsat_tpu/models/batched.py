@@ -1,0 +1,269 @@
+"""Batched expert engines — fit + predict for a whole padded bucket of local
+experts in one compiled device program.
+
+This is the component that structurally replaces the reference's sequential
+per-expert loop (reference: GPSat/local_experts.py:930: build model, scipy
+optimise, predict, destroy — once per expert). Here a bucket of B experts with
+identical padded shapes is optimised by one vmapped L-BFGS and predicted in one
+masked batched posterior evaluation; buckets shard over the device mesh on the
+experts axis.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpsat_tpu.models.exact_gpr import make_gpr_objective, move_within_bounds
+from gpsat_tpu.ops import gpr_math
+from gpsat_tpu.ops.lbfgs import _batched_lbfgs_jit
+from gpsat_tpu.ops.packing import pack, unpack
+from gpsat_tpu.ops.transforms import Sigmoid, Softplus
+
+__all__ = ["BatchedGPR"]
+
+
+@partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
+                                   "do_predict", "max_iter", "gtol", "ftol"))
+def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
+                     free_names, d, optimise, do_predict, max_iter, gtol, ftol):
+    """One device program: (optional) batched L-BFGS fit + masked batched
+    posterior prediction for a [B, N(, P)] bucket."""
+    objective, spec = make_gpr_objective(kernel, free_names, d)
+
+    if optimise and free_names:
+        u, fval, conv, iters = _batched_lbfgs_jit(
+            objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
+            ftol, 10, 30, "custom")
+    else:
+        u = u0
+        fval = jax.vmap(lambda ui, xi, yi, mi, bi, fi:
+                        objective(ui, xi, yi, mi, bi, fi))(
+            u0, X, y, mask, bijectors, fixed)
+        conv = jnp.zeros(u0.shape[0], dtype=bool)
+        iters = jnp.zeros(u0.shape[0], dtype=jnp.int32)
+
+    def constrained(ui, bi, fi):
+        free = unpack(ui, spec)
+        params = dict(fi)
+        for n in free_names:
+            params[n] = bi[n].forward(free[n])
+        return params
+
+    params = jax.vmap(constrained)(u, bijectors, fixed)
+
+    if do_predict:
+        preds = jax.vmap(lambda p, xi, yi, mi, xsi:
+                         gpr_math.predict(p, xi, yi, mi, xsi, kernel=kernel))(
+            params, X, y, mask, Xs)
+    else:
+        preds = {}
+    return params, fval, conv, iters, preds
+
+
+class BatchedGPR:
+    """Configured batched exact-GPR engine for the scheduler.
+
+    Holds the *shared* per-run configuration (kernel, initial values,
+    constraint bijectors, scales); `fit_predict` consumes padded bucket
+    arrays. Per-expert initial parameters (e.g. loaded smoothed
+    hyperparameters) may override the shared initial values.
+    """
+
+    PARAM_SHAPES = ("lengthscales", "kernel_variance", "likelihood_variance")
+    model_name = "GPRModel"
+
+    def __init__(self, coords_dim, kernel="Matern32", kernel_kwargs=None,
+                 noise_variance=None, likelihood_variance=None,
+                 constraints=None, coords_scale=None, optim_kwargs=None,
+                 jitter=0.0, dtype=jnp.float64, **unused):
+        self.d = int(coords_dim)
+        self.kernel = kernel
+        self.dtype = dtype
+        kernel_kwargs = dict(kernel_kwargs or {})
+
+        self.user_set = {
+            "lengthscales": "lengthscales" in kernel_kwargs,
+            "kernel_variance": "variance" in kernel_kwargs,
+            "likelihood_variance": (noise_variance is not None or
+                                    likelihood_variance is not None),
+        }
+        ls = np.asarray(kernel_kwargs.pop("lengthscales", np.ones(self.d)),
+                        dtype=float)
+        if ls.ndim == 0:
+            ls = np.full(self.d, float(ls))
+        kv = float(kernel_kwargs.pop("variance", 1.0))
+        if likelihood_variance is None:
+            likelihood_variance = 1.0 if noise_variance is None else noise_variance
+        lv = float(likelihood_variance)
+        self.init_values = {"lengthscales": ls, "kernel_variance": kv,
+                            "likelihood_variance": lv}
+        self.coords_scale = np.atleast_2d(
+            1.0 if coords_scale is None else np.asarray(coords_scale, dtype=float))
+
+        optim_kwargs = dict(optim_kwargs or {})
+        self.max_iter = int(optim_kwargs.pop("max_iter", 1000))
+        self.gtol = float(optim_kwargs.pop("gtol", 1e-6))
+        self.ftol = float(optim_kwargs.pop("ftol", 1e-11))
+        fixed = optim_kwargs.pop("fixed_params", None) or []
+        self.free_names = tuple(n for n in self.param_names if n not in fixed)
+
+        # constraint bijectors (bounds divided by coords_scale for lengthscales
+        # when 'scale' is set, mirroring GPSat/local_experts.py:1110-1115)
+        self.bijectors = {n: Softplus() for n in self.param_names}
+        self.bounds = {}
+        constraints = constraints or {}
+        for name, c in constraints.items():
+            if name not in self.param_names:
+                continue
+            low = np.atleast_1d(np.asarray(c["low"], dtype=float))
+            high = np.atleast_1d(np.asarray(c["high"], dtype=float))
+            if name == "lengthscales" and c.get("scale", False):
+                low = low / self.coords_scale[0, :]
+                high = high / self.coords_scale[0, :]
+            if name == "lengthscales":
+                self.bijectors[name] = Sigmoid(low=jnp.asarray(low),
+                                               high=jnp.asarray(high))
+            else:
+                self.bijectors[name] = Sigmoid(low=jnp.asarray(low[0]),
+                                               high=jnp.asarray(high[0]))
+            self.bounds[name] = (low, high)
+
+        # shared initial values moved inside bounds (tol matches the
+        # orchestrator call in the reference, GPSat/local_experts.py:1115)
+        for name, (low, high) in self.bounds.items():
+            cur = move_within_bounds(np.atleast_1d(self.init_values[name]),
+                                     low, high, tol=1e-2)
+            self.init_values[name] = cur if name == "lengthscales" else float(cur[0])
+
+    @property
+    def param_names(self):
+        return list(self.PARAM_SHAPES)
+
+    def param_shape(self, name):
+        return (self.d,) if name == "lengthscales" else ()
+
+    # -- per-bucket execution ------------------------------------------------
+
+    def _initial_params_batch(self, B, overrides=None, y_var=None, scale=1.0,
+                              clamp=True):
+        """[B]-batched initial parameter dict.
+
+        Initial values resolve in priority order: per-expert `overrides`
+        (loaded parameters; NaN = absent) > user-specified config values >
+        data-driven defaults (kernel variance ~ per-expert signal variance —
+        the batched replacement for the reference's sequential warm-start EMA,
+        GPSat/local_experts.py:1200-1217). All clamped into constraint bounds.
+        """
+        out = {}
+        for name in self.param_names:
+            shape = self.param_shape(name)
+            base = np.broadcast_to(np.asarray(self.init_values[name], dtype=float),
+                                   (B,) + shape).copy()
+            if y_var is not None and not self.user_set.get(name, True):
+                if name == "kernel_variance":
+                    base = np.maximum(y_var, 1e-10) * scale
+                elif name == "likelihood_variance":
+                    base = np.maximum(0.1 * y_var, 1e-10) * scale
+                elif name == "lengthscales" and scale != 1.0:
+                    base = base * scale
+            if overrides and name in overrides and overrides[name] is not None:
+                ov = np.asarray(overrides[name], dtype=float).reshape((B,) + shape)
+                use = ~np.isnan(ov)
+                base[use] = ov[use]
+            if clamp and name in self.bounds:
+                # move optimisation starts strictly inside the box
+                # (reference: GPSat/local_experts.py:1115); skipped when not
+                # optimising so loaded parameters are used verbatim
+                low, high = self.bounds[name]
+                base = move_within_bounds(base, low, high, tol=1e-2)
+            out[name] = base
+        return out
+
+    def _execute(self, init, X, y, mask, Xs_in, optimise, do_predict):
+        from gpsat_tpu.ops.packing import ParamSpec
+        B = X.shape[0]
+        free = {n: init[n] for n in self.free_names}
+        fixed = {n: jnp.asarray(init[n], dtype=self.dtype)
+                 for n in self.param_names if n not in self.free_names}
+        bij = {n: self.bijectors[n] for n in self.free_names}
+        spec = ParamSpec([(n, self.param_shape(n)) for n in self.free_names])
+        u0 = jax.vmap(lambda fr: pack({n: bij[n].inverse(fr[n])
+                                       for n in self.free_names}, spec))(
+            {n: jnp.asarray(v, dtype=self.dtype) for n, v in free.items()})
+        bij_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
+                                       (B,) + jnp.asarray(a).shape), bij)
+        return _gpr_fit_predict(
+            u0, X, y, jnp.asarray(mask), Xs_in, bij_b, fixed,
+            kernel=self.kernel, free_names=self.free_names, d=self.d,
+            optimise=bool(optimise), do_predict=bool(do_predict),
+            max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol)
+
+    def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
+                    param_overrides=None):
+        """Fit + predict one padded bucket.
+
+        X: [B, N, D] scaled coords; y: [B, N] de-meaned scaled obs;
+        mask: [B, N]; Xs: [B, P, D] scaled prediction coords or None.
+
+        Optimisation is restarted from an alternative initial point for
+        experts that collapse into the degenerate zero-signal optimum
+        (kernel variance -> 0), keeping the better NLML of the two runs.
+        Returns dict of numpy arrays.
+        """
+        B = X.shape[0]
+        mask_np = np.asarray(mask)
+        y_np = np.asarray(y)
+        cnt = np.maximum(mask_np.sum(axis=1), 1)
+        y_mean = (y_np * mask_np).sum(axis=1) / cnt
+        y_var = ((y_np - y_mean[:, None]) ** 2 * mask_np).sum(axis=1) / cnt
+
+        Xj = jnp.asarray(X, dtype=self.dtype)
+        yj = jnp.asarray(y, dtype=self.dtype)
+        do_predict = predict and Xs is not None
+        Xs_in = jnp.zeros((B, 1, self.d), dtype=self.dtype) if Xs is None \
+            else jnp.asarray(Xs, dtype=self.dtype)
+
+        init = self._initial_params_batch(B, param_overrides, y_var=y_var,
+                                          clamp=bool(optimise))
+        params, fval, conv, iters, preds = self._execute(
+            init, Xj, yj, mask_np, Xs_in, optimise, do_predict)
+
+        if optimise and self.free_names:
+            kv = np.asarray(params.get("kernel_variance",
+                                       np.ones(B)))
+            active = mask_np.any(axis=1)
+            collapsed = active & (
+                (kv < np.maximum(1e-4 * y_var, 1e-12)) |
+                ~np.isfinite(np.asarray(fval)))
+            if collapsed.any():
+                alt = self._initial_params_batch(B, param_overrides,
+                                                 y_var=y_var, scale=3.0)
+                p2, f2, c2, i2, pr2 = self._execute(
+                    alt, Xj, yj, mask_np, Xs_in, optimise, do_predict)
+                better = np.asarray(f2) < np.asarray(fval)
+                use2 = collapsed & better & np.isfinite(np.asarray(f2))
+                if use2.any():
+                    sel = jnp.asarray(use2)
+                    params = jax.tree.map(
+                        lambda a, b: jnp.where(
+                            sel.reshape((B,) + (1,) * (a.ndim - 1)), b, a),
+                        params, p2)
+                    fval = jnp.where(sel, f2, fval)
+                    conv = jnp.where(sel, c2, conv)
+                    iters = jnp.where(sel, i2, iters)
+                    if preds:
+                        preds = jax.tree.map(
+                            lambda a, b: jnp.where(
+                                sel.reshape((B,) + (1,) * (a.ndim - 1)), b, a),
+                            preds, pr2)
+
+        return {
+            "params": {k: np.asarray(v) for k, v in params.items()},
+            "objective": np.asarray(fval),
+            "converged": np.asarray(conv),
+            "iterations": np.asarray(iters),
+            "preds": {k: np.asarray(v) for k, v in preds.items()},
+        }

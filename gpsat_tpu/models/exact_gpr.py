@@ -93,9 +93,15 @@ class GPRModel(BaseGPRModel):
             kernel_kwargs.pop("lengthscales", np.ones(d)), dtype=float)
         if self._lengthscales.ndim == 0:
             self._lengthscales = np.full(d, float(self._lengthscales))
-        self._kernel_variance = float(kernel_kwargs.pop("variance", 1.0))
+        # data-driven default initial variances (same scheme as the batched
+        # engine) — avoids the degenerate zero-signal optimum the reference's
+        # fixed kv=1 init can fall into
+        y_var = float(np.var(self.obs[:, 0])) if len(self.obs) > 1 else 1.0
+        y_var = max(y_var, 1e-10)
+        self._kernel_variance = float(kernel_kwargs.pop("variance", y_var))
         if likelihood_variance is None:
-            likelihood_variance = 1.0 if noise_variance is None else noise_variance
+            likelihood_variance = (0.1 * y_var) if noise_variance is None \
+                else noise_variance
         self._likelihood_variance = float(likelihood_variance)
         self.kernel_kwargs = kernel_kwargs  # e.g. alpha for RationalQuadratic
 
