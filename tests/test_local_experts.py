@@ -28,7 +28,7 @@ def truth_field(x, y):
 @pytest.fixture(scope="module")
 def synthetic_setup(tmp_path_factory):
     rng = np.random.default_rng(7)
-    n = 4000
+    n = 3000
     x = rng.uniform(-500 * KM, 500 * KM, n)
     y = rng.uniform(-500 * KM, 500 * KM, n)
     z = truth_field(x, y) + 0.05 * rng.standard_normal(n)
@@ -56,7 +56,7 @@ def synthetic_setup(tmp_path_factory):
         "local_select": [
             {"col": "t", "comp": "<=", "val": 4},
             {"col": "t", "comp": ">=", "val": -4},
-            {"col": ["x", "y"], "comp": "<", "val": 300 * KM},
+            {"col": ["x", "y"], "comp": "<", "val": 220 * KM},
         ],
     }
     model_config = {
@@ -194,6 +194,61 @@ def test_load_params_repredict(synthetic_setup, tmp_path):
     b = dfs["preds_RELOAD"].sort_values(["x", "y", "_dim_0"]).reset_index(drop=True)
     np.testing.assert_allclose(a["f*"].values, b["f*"].values, atol=1e-8)
     np.testing.assert_allclose(a["f*_var"].values, b["f*_var"].values, atol=1e-8)
+
+
+def test_smoothing_round_trip(synthetic_setup):
+    """Smooth hyperparameters -> re-predict with table_suffix _SMOOTHED
+    (reference flow: examples/inline_example.py:437-499)."""
+    from gpsat_tpu.postprocessing import smooth_hyperparameters
+    import json, os
+
+    store_path = synthetic_setup["store_path"]
+    KM = 1000.0
+    cfg_file = smooth_hyperparameters(
+        result_file=store_path,
+        output_file=store_path,
+        params_to_smooth=["lengthscales", "kernel_variance",
+                          "likelihood_variance"],
+        smooth_config_dict={
+            "lengthscales": {"l_x": 200 * KM, "l_y": 200 * KM},
+            "kernel_variance": {"l_x": 200 * KM, "l_y": 200 * KM, "max": 0.5},
+            "likelihood_variance": {"l_x": 200 * KM, "l_y": 200 * KM,
+                                    "max": 0.3},
+        },
+        table_suffix="_SMOOTHED", save_config_file=True)
+    assert os.path.exists(cfg_file)
+    with open(cfg_file) as f:
+        follow_cfg = json.load(f)
+    assert follow_cfg[-1]["run_kwargs"]["optimise"] is False
+
+    # re-run with smoothed params
+    model_config = dict(synthetic_setup["model_config"])
+    model_config["load_params"] = {"file": store_path,
+                                   "table_suffix": "_SMOOTHED"}
+    locexp = LocalExpertOI(
+        expert_loc_config={"source": synthetic_setup["eloc"]},
+        data_config=synthetic_setup["data_config"],
+        model_config=model_config,
+        pred_loc_config=synthetic_setup["pred_loc_config"])
+    locexp.run(store_path=store_path, optimise=False, predict=True,
+               table_suffix="_SMOOTHED", check_config_compatible=False,
+               verbose=False)
+
+    dfs, _ = get_results_from_h5file(store_path)
+    for t in ["lengthscales_SMOOTHED", "preds_SMOOTHED",
+              "run_details_SMOOTHED"]:
+        assert t in dfs, f"missing {t} in {list(dfs)}"
+    # smoothed kernel variance respects the max clamp
+    assert (dfs["kernel_variance_SMOOTHED"]["kernel_variance"] <= 0.5).all()
+    # smoothed predictions still track the truth
+    merged = get_weighted_values(df=dfs["preds_SMOOTHED"],
+                                 ref_col=["pred_loc_x", "pred_loc_y"],
+                                 dist_to_col=["x", "y"],
+                                 val_cols=["f*"], lengthscale=100 * KM)
+    truth = truth_field(merged["pred_loc_x"].values,
+                        merged["pred_loc_y"].values)
+    rmse = np.sqrt(np.mean((merged["f*"].values - truth) ** 2))
+    assert rmse < 0.08, f"smoothed prediction rmse too high: {rmse}"
 
 
 def test_min_obs_skip_recorded(tmp_path):

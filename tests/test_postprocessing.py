@@ -1,0 +1,64 @@
+"""Tests for hyperparameter smoothing + prediction gluing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu.postprocessing import (gaussian_2d_smooth, SmoothingConfig,
+                                      glue_local_predictions_2d)
+
+
+def test_gaussian_smooth_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    n = 50
+    x = rng.uniform(-5, 5, n)
+    y = rng.uniform(-5, 5, n)
+    vals = rng.standard_normal(n)
+    l_x, l_y = 2.0, 3.0
+    got = gaussian_2d_smooth(x, y, x, y, l_x, l_y, vals)
+    # independent numpy oracle
+    want = np.empty(n)
+    for i in range(n):
+        d2 = ((x - x[i]) / l_x) ** 2 + ((y - y[i]) / l_y) ** 2
+        w = np.exp(-d2 / 2)
+        want[i] = np.sum(w * vals) / np.sum(w)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_gaussian_smooth_nan_skipped():
+    x = np.array([0.0, 1.0, 2.0])
+    vals = np.array([1.0, np.nan, 3.0])
+    out = gaussian_2d_smooth(x, np.zeros(3), x, np.zeros(3), 1.0, 1.0, vals)
+    assert np.isfinite(out).all()
+    # middle point: weighted mean of 1 and 3 with equal weights -> 2
+    np.testing.assert_allclose(out[1], 2.0)
+
+
+def test_gaussian_smooth_all_nan_gives_nan():
+    out = gaussian_2d_smooth(np.zeros(2), np.zeros(2), np.zeros(2),
+                             np.zeros(2), 1.0, 1.0, np.array([np.nan, np.nan]))
+    assert np.isnan(out).all()
+
+
+def test_smoothing_config_access():
+    c = SmoothingConfig(l_x=2, l_y=3, max=5)
+    assert c["l_x"] == 2
+    assert c.get("max") == 5
+    assert c.get("min") is None
+    with pytest.raises(AttributeError):
+        c["nope"]
+
+
+def test_glue_local_predictions_2d():
+    # two experts predict the same location with different values
+    expert_locs = pd.DataFrame({"x": [0.0, 10.0], "y": [0.0, 10.0]})
+    preds = pd.DataFrame({
+        "x": [0.0, 10.0], "y": [0.0, 10.0],
+        "pred_loc_x": [5.0, 5.0], "pred_loc_y": [5.0, 5.0],
+        "f*": [1.0, 3.0], "f*_var": [0.25, 0.25],
+    })
+    glued = glue_local_predictions_2d(preds, expert_locs, R=3)
+    assert len(glued) == 1
+    # equidistant experts -> plain mean
+    np.testing.assert_allclose(glued["f*"].values, [2.0])
+    np.testing.assert_allclose(glued["f*_std"].values, [0.5])
