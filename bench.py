@@ -1,0 +1,155 @@
+"""Benchmark: experts optimised per second per chip (batched GPR sweep).
+
+Workload: E local experts, each an exact-GPR fit (Matern32, D=3 coords,
+N obs) + posterior prediction at P points — the per-expert work of the
+reference's LocalExpertOI sweep (GPSat/local_experts.py:930), here executed as
+batched device programs.
+
+Baseline: the reference-equivalent sequential path measured on this host —
+per-expert scipy L-BFGS-B driving a float64 NumPy NLML with analytic
+gradients (the reference's own PurePythonGPR architecture,
+GPSat/models/pure_python_gpr.py:439-553). vs_baseline = our_rate / ref_rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_workload(E, N, P, D=3, seed=0):
+    """Synthetic local-expert datasets with GP-like structure."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-4.0, 4.0, (E, N, D)).astype(np.float64)
+    X[..., 2] = 0.0
+    # smooth field + noise (cheap stand-in for a GP draw)
+    z = (0.4 * np.sin(X[..., 0] * 0.8) + 0.3 * np.cos(X[..., 1] * 0.6)
+         + 0.05 * rng.standard_normal((E, N)))
+    Xs = rng.uniform(-4.0, 4.0, (E, P, D)).astype(np.float64)
+    Xs[..., 2] = 0.0
+    return X, z, Xs
+
+
+# ---------------------------------------------------------------------------
+# reference-equivalent sequential baseline (numpy + scipy per expert)
+# ---------------------------------------------------------------------------
+
+def _np_nlml_grad(log_theta, X, y):
+    """Matern32 NLML + analytic gradient in log-parameter space (float64)."""
+    D = X.shape[1]
+    ls = np.exp(log_theta[:D])
+    sf2 = np.exp(log_theta[D])
+    sn2 = np.exp(log_theta[D + 1])
+    n = len(y)
+    diff = X[:, None, :] - X[None, :, :]           # [n, n, D]
+    q2 = 3.0 * (diff / ls) ** 2                     # per-dim squared scaled dist
+    r = np.sqrt(np.maximum(q2.sum(-1), 1e-36))
+    E = np.exp(-r)
+    K = sf2 * (1.0 + r) * E
+    A = K + np.eye(n) * sn2
+    try:
+        L = np.linalg.cholesky(A)
+    except np.linalg.LinAlgError:
+        return np.inf, np.zeros_like(log_theta)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+    nlml = (0.5 * y @ alpha + np.log(np.diag(L)).sum()
+            + 0.5 * n * np.log(2 * np.pi))
+    Kinv = np.linalg.solve(L.T, np.linalg.solve(L, np.eye(n)))
+    Q = Kinv - np.outer(alpha, alpha)
+    g = np.empty_like(log_theta)
+    for j in range(D):
+        dK = sf2 * E * q2[..., j]                   # dK/dlog ls_j
+        g[j] = 0.5 * np.sum(Q * dK)
+    g[D] = 0.5 * np.sum(Q * K)                      # dK/dlog sf2 = K
+    g[D + 1] = 0.5 * sn2 * np.trace(Q)              # dK/dlog sn2 = sn2 I
+    return float(nlml), g
+
+
+def baseline_rate(X, z, Xs, n_sample=4):
+    """Per-expert sequential scipy L-BFGS-B + numpy predict; experts/sec."""
+    import scipy.optimize
+    from scipy.spatial.distance import cdist
+    E, N, D = X.shape
+    t0 = time.perf_counter()
+    for i in range(min(n_sample, E)):
+        y = z[i] - z[i].mean()
+        x0 = np.concatenate([np.zeros(D),
+                             [np.log(max(y.var(), 1e-8))],
+                             [np.log(max(0.1 * y.var(), 1e-9))]])
+        res = scipy.optimize.minimize(_np_nlml_grad, x0, args=(X[i], y),
+                                      jac=True, method="L-BFGS-B")
+        ls = np.exp(res.x[:D]); sf2 = np.exp(res.x[D]); sn2 = np.exp(res.x[D + 1])
+        r = cdist(np.sqrt(3) * X[i] / ls, np.sqrt(3) * X[i] / ls)
+        K = sf2 * (1 + r) * np.exp(-r) + np.eye(N) * sn2
+        L = np.linalg.cholesky(K)
+        rs = cdist(np.sqrt(3) * X[i] / ls, np.sqrt(3) * Xs[i] / ls)
+        Ks = sf2 * (1 + rs) * np.exp(-rs)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+        _ = Ks.T @ alpha
+        v = np.linalg.solve(L, Ks)
+        _ = sf2 - (v * v).sum(0)
+    dt = time.perf_counter() - t0
+    return min(n_sample, E) / dt
+
+
+# ---------------------------------------------------------------------------
+# gpsat_tpu batched path
+# ---------------------------------------------------------------------------
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gpsat_tpu.models.batched import BatchedGPR
+
+    dev = jax.devices()[0]
+    on_accel = dev.platform != "cpu"
+    # sizes: modest enough for CI-on-CPU, meaningful on a real chip
+    E = 512 if on_accel else 64
+    N, P, D = 400, 400, 3
+    dtype = jnp.float32 if on_accel else jnp.float64
+
+    X, z, Xs = make_workload(E, N, P, D)
+    y = z - z.mean(axis=1, keepdims=True)
+    mask = np.ones((E, N), dtype=bool)
+
+    engine = BatchedGPR(
+        coords_dim=D, kernel="Matern32",
+        constraints={"lengthscales": {"low": [0.01] * D, "high": [50.0] * D},
+                     "likelihood_variance": {"low": 1e-5, "high": 1.0}},
+        optim_kwargs={"max_iter": 250, "gtol": 1e-5, "ftol": 1e-9},
+        jitter=1e-6, dtype=dtype)
+
+    Xd = jnp.asarray(X, dtype=dtype)
+    yd = jnp.asarray(y, dtype=dtype)
+    md = jnp.asarray(mask)
+    Xsd = jnp.asarray(Xs, dtype=dtype)
+
+    # warm-up / compile on the same shapes
+    _ = engine.fit_predict(Xd, yd, md, Xs=Xsd, optimise=True, predict=True)
+
+    t0 = time.perf_counter()
+    out = engine.fit_predict(Xd, yd, md, Xs=Xsd, optimise=True, predict=True)
+    dt = time.perf_counter() - t0
+    rate = E / dt
+
+    # sanity: the fits converged and predictions are finite
+    conv_frac = float(np.mean(out["converged"]))
+    assert np.isfinite(out["preds"]["f*"]).all(), "non-finite predictions"
+
+    ref_rate = baseline_rate(X, z, Xs, n_sample=4)
+    result = {
+        "metric": "experts_optimized_per_s_per_chip",
+        "value": round(rate, 3),
+        "unit": f"experts/s (N={N} obs, P={P} preds, D={D}, "
+                f"{np.dtype(dtype).name}, device={dev.platform}:{dev.device_kind}, "
+                f"converged={conv_frac:.2f})",
+        "vs_baseline": round(rate / ref_rate, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

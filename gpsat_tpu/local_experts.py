@@ -37,7 +37,7 @@ import jax
 
 from gpsat_tpu.dataloader import DataLoader
 from gpsat_tpu.models import get_model
-from gpsat_tpu.models.batched import BatchedGPR
+from gpsat_tpu.models.batched import BatchedGPR, BatchedSGPR
 from gpsat_tpu.parallel.mesh import get_mesh, shard_experts
 from gpsat_tpu.parallel.scheduler import make_buckets
 from gpsat_tpu.prediction_locations import PredictionLocations
@@ -238,7 +238,7 @@ class LocalExpertOI:
         one table read per parameter instead of one HDF5 select per expert.
         """
         if param_names is None:
-            param_names = engine.param_names
+            param_names = engine.loadable_param_names
         E = len(xprt_locs)
         overrides, have = {}, np.ones(E, dtype=bool)
         key_df = xprt_locs[coords_col].reset_index(drop=True)
@@ -477,9 +477,17 @@ class LocalExpertOI:
     # ------------------------------------------------------------------
 
     def _make_engine(self, init_params, constraints, coords_col):
+        from gpsat_tpu.models.exact_gpr import GPRModel
+        from gpsat_tpu.models.sgpr import SGPRModel
+        engines = {GPRModel: BatchedGPR, SGPRModel: BatchedSGPR}
+        engine_cls = engines.get(self.model)
+        if engine_cls is None:
+            # fall back by name for custom subclasses
+            engine_cls = BatchedSGPR if "SGPR" in getattr(
+                self.model, "__name__", "") else BatchedGPR
         ip = {k: v for k, v in init_params.items()
               if k not in ("coords_scale", "obs_scale", "obs_mean")}
-        return BatchedGPR(coords_dim=len(coords_col),
+        return engine_cls(coords_dim=len(coords_col),
                           constraints=constraints,
                           coords_scale=init_params.get("coords_scale"),
                           optim_kwargs=self.optim_kwargs, **ip)
@@ -574,12 +582,20 @@ class LocalExpertOI:
                 v = np.asarray(vals)[:b_valid]
                 if v.ndim == 1:
                     pdf = pd.DataFrame({"_dim_0": 0, pn: v}, index=midx)
-                else:
+                elif v.ndim == 2:
                     D = v.shape[1]
                     rep_idx = pd.MultiIndex.from_arrays(
                         np.repeat(exp_coords, D, axis=0).T, names=coords_col)
                     pdf = pd.DataFrame({"_dim_0": np.tile(np.arange(D), b_valid),
                                         pn: v.reshape(-1)}, index=rep_idx)
+                else:
+                    M, D = v.shape[1], v.shape[2]
+                    rep_idx = pd.MultiIndex.from_arrays(
+                        np.repeat(exp_coords, M * D, axis=0).T, names=coords_col)
+                    pdf = pd.DataFrame({
+                        "_dim_0": np.tile(np.repeat(np.arange(M), D), b_valid),
+                        "_dim_1": np.tile(np.arange(D), b_valid * M),
+                        pn: v.reshape(-1)}, index=rep_idx)
                 self._buffer(buffer, pn, pdf)
 
         # predictions ------------------------------------------------------

@@ -71,7 +71,7 @@ class BatchedGPR:
     hyperparameters) may override the shared initial values.
     """
 
-    PARAM_SHAPES = ("lengthscales", "kernel_variance", "likelihood_variance")
+    HYPER_NAMES = ("lengthscales", "kernel_variance", "likelihood_variance")
     model_name = "GPRModel"
 
     def __init__(self, coords_dim, kernel="Matern32", kernel_kwargs=None,
@@ -107,15 +107,15 @@ class BatchedGPR:
         self.gtol = float(optim_kwargs.pop("gtol", 1e-6))
         self.ftol = float(optim_kwargs.pop("ftol", 1e-11))
         fixed = optim_kwargs.pop("fixed_params", None) or []
-        self.free_names = tuple(n for n in self.param_names if n not in fixed)
+        self.free_names = tuple(n for n in self.HYPER_NAMES if n not in fixed)
 
         # constraint bijectors (bounds divided by coords_scale for lengthscales
         # when 'scale' is set, mirroring GPSat/local_experts.py:1110-1115)
-        self.bijectors = {n: Softplus() for n in self.param_names}
+        self.bijectors = {n: Softplus() for n in self.HYPER_NAMES}
         self.bounds = {}
         constraints = constraints or {}
         for name, c in constraints.items():
-            if name not in self.param_names:
+            if name not in self.HYPER_NAMES:
                 continue
             low = np.atleast_1d(np.asarray(c["low"], dtype=float))
             high = np.atleast_1d(np.asarray(c["high"], dtype=float))
@@ -139,7 +139,13 @@ class BatchedGPR:
 
     @property
     def param_names(self):
-        return list(self.PARAM_SHAPES)
+        """Parameters reported/stored per expert."""
+        return list(self.HYPER_NAMES)
+
+    @property
+    def loadable_param_names(self):
+        """Parameters that can be re-loaded from result tables."""
+        return list(self.HYPER_NAMES)
 
     def param_shape(self, name):
         return (self.d,) if name == "lengthscales" else ()
@@ -157,7 +163,7 @@ class BatchedGPR:
         GPSat/local_experts.py:1200-1217). All clamped into constraint bounds.
         """
         out = {}
-        for name in self.param_names:
+        for name in self.HYPER_NAMES:
             shape = self.param_shape(name)
             base = np.broadcast_to(np.asarray(self.init_values[name], dtype=float),
                                    (B,) + shape).copy()
@@ -186,7 +192,7 @@ class BatchedGPR:
         B = X.shape[0]
         free = {n: init[n] for n in self.free_names}
         fixed = {n: jnp.asarray(init[n], dtype=self.dtype)
-                 for n in self.param_names if n not in self.free_names}
+                 for n in self.HYPER_NAMES if n not in self.free_names}
         bij = {n: self.bijectors[n] for n in self.free_names}
         spec = ParamSpec([(n, self.param_shape(n)) for n in self.free_names])
         u0 = jax.vmap(lambda fr: pack({n: bij[n].inverse(fr[n])
@@ -195,6 +201,11 @@ class BatchedGPR:
         bij_b = jax.tree.map(
             lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
                                        (B,) + jnp.asarray(a).shape), bij)
+        return self._call_program(u0, X, y, mask, Xs_in, bij_b, fixed,
+                                  optimise, do_predict)
+
+    def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
+                      do_predict):
         return _gpr_fit_predict(
             u0, X, y, jnp.asarray(mask), Xs_in, bij_b, fixed,
             kernel=self.kernel, free_names=self.free_names, d=self.d,
@@ -267,3 +278,134 @@ class BatchedGPR:
             "iterations": np.asarray(iters),
             "preds": {k: np.asarray(v) for k, v in preds.items()},
         }
+
+
+# ---------------------------------------------------------------------------
+# SGPR (Titsias) batched engine
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
+                                   "do_predict", "max_iter", "gtol", "ftol",
+                                   "jitter"))
+def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
+                      kernel, free_names, d, optimise, do_predict, max_iter,
+                      gtol, ftol, jitter):
+    """Batched SGPR: L-BFGS on the collapsed negative ELBO + posterior."""
+    from gpsat_tpu.ops import sgpr as sgpr_math
+    from gpsat_tpu.ops.packing import ParamSpec
+
+    shapes = {"lengthscales": (d,), "kernel_variance": (),
+              "likelihood_variance": ()}
+    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+
+    def objective(u, X, y, mask, Z, zmask, bijectors, fixed):
+        free = unpack(u, spec)
+        params = dict(fixed)
+        for n in free_names:
+            params[n] = bijectors[n].forward(free[n])
+        return sgpr_math.neg_elbo(params, X, y, mask, Z, zmask, kernel=kernel,
+                                  jitter=jitter)
+
+    if optimise and free_names:
+        u, fval, conv, iters = _batched_lbfgs_jit(
+            objective, u0, (X, y, mask, Z, zmask, bijectors, fixed),
+            max_iter, gtol, ftol, 10, 30, "custom")
+    else:
+        u = u0
+        fval = jax.vmap(objective)(u0, X, y, mask, Z, zmask, bijectors, fixed)
+        conv = jnp.zeros(u0.shape[0], dtype=bool)
+        iters = jnp.zeros(u0.shape[0], dtype=jnp.int32)
+
+    def constrained(ui, bi, fi):
+        free = unpack(ui, spec)
+        params = dict(fi)
+        for n in free_names:
+            params[n] = bi[n].forward(free[n])
+        return params
+
+    params = jax.vmap(constrained)(u, bijectors, fixed)
+
+    if do_predict:
+        preds = jax.vmap(
+            lambda p, xi, yi, mi, zi, zmi, xsi: sgpr_math.predict(
+                p, xi, yi, mi, zi, zmi, xsi, kernel=kernel, jitter=jitter))(
+            params, X, y, mask, Z, zmask, Xs)
+    else:
+        preds = {}
+    return params, fval, conv, iters, preds
+
+
+class BatchedSGPR(BatchedGPR):
+    """Batched Titsias SGPR engine (reference model: GPflowSGPRModel,
+    GPSat/models/gpflow_models.py:666; the production model of the IS2 runs).
+
+    Inducing points are a seeded random subset of each expert's (scaled)
+    inputs, fixed during optimisation (the reference default,
+    gpflow_models.py:864 train_inducing_points=False). Note: the objective
+    value reported is the *negative* ELBO from the optimiser; the orchestrator
+    flips sign so the stored objective_value is the ELBO, matching the
+    reference's SGPR get_objective_function_value.
+    """
+
+    model_name = "SGPRModel"
+    objective_sign = -1.0   # stored objective = -neg_elbo = elbo
+
+    def __init__(self, coords_dim, num_inducing_points=500, inducing_seed=42,
+                 jitter=None, **kwargs):
+        from gpsat_tpu.ops import sgpr as sgpr_math
+        super().__init__(coords_dim,
+                         jitter=sgpr_math.DEFAULT_JITTER if jitter is None else jitter,
+                         **kwargs)
+        self.num_inducing = int(num_inducing_points)
+        self.inducing_seed = int(inducing_seed)
+        self.jitter = float(sgpr_math.DEFAULT_JITTER if jitter is None else jitter)
+        self._Z = None
+        self._zmask = None
+
+    @property
+    def param_names(self):
+        return list(self.HYPER_NAMES) + ["inducing_points"]
+
+    def _build_inducing(self, X, mask):
+        """Seeded random-subset inducing points per expert, padded + masked."""
+        X = np.asarray(X)
+        mask = np.asarray(mask)
+        B, N, d = X.shape
+        M = min(self.num_inducing, N)
+        Z = np.zeros((B, M, d))
+        zmask = np.zeros((B, M), dtype=bool)
+        rng = np.random.default_rng(self.inducing_seed)
+        for b in range(B):
+            valid = np.where(mask[b])[0]
+            if len(valid) == 0:
+                continue
+            if len(valid) <= M:
+                sel = valid
+            else:
+                sel = valid[rng.permutation(len(valid))[:M]]
+            Z[b, :len(sel)] = X[b, sel]
+            zmask[b, :len(sel)] = True
+        return Z, zmask
+
+    def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
+                    param_overrides=None):
+        self._Z, self._zmask = self._build_inducing(X, mask)
+        out = super().fit_predict(X, y, mask, Xs=Xs, optimise=optimise,
+                                  predict=predict,
+                                  param_overrides=param_overrides)
+        # report the ELBO (positive) and expose the inducing points
+        out["objective"] = -out["objective"]
+        out["params"]["inducing_points"] = self._Z * (
+            self._zmask[:, :, None])  # zero padded rows for storage
+        out["inducing_mask"] = self._zmask
+        return out
+
+    def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
+                      do_predict):
+        return _sgpr_fit_predict(
+            u0, X, y, jnp.asarray(mask), jnp.asarray(self._Z, dtype=self.dtype),
+            jnp.asarray(self._zmask), Xs_in, bij_b, fixed,
+            kernel=self.kernel, free_names=self.free_names, d=self.d,
+            optimise=bool(optimise), do_predict=bool(do_predict),
+            max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
+            jitter=self.jitter)
