@@ -127,17 +127,29 @@ def main():
     md = jnp.asarray(mask)
     Xsd = jnp.asarray(Xs, dtype=dtype)
 
+    from gpsat_tpu.parallel.scheduler import auto_batch_size
+    B = min(E, auto_batch_size(N, P))
+
+    def sweep():
+        convs, finite = [], True
+        for s in range(0, E, B):
+            e = min(s + B, E)
+            out = engine.fit_predict(Xd[s:e], yd[s:e], md[s:e], Xs=Xsd[s:e],
+                                     optimise=True, predict=True)
+            convs.append(out["converged"])
+            finite &= bool(np.isfinite(out["preds"]["f*"]).all())
+        return np.concatenate(convs), finite
+
     # warm-up / compile on the same shapes
-    _ = engine.fit_predict(Xd, yd, md, Xs=Xsd, optimise=True, predict=True)
+    sweep()
 
     t0 = time.perf_counter()
-    out = engine.fit_predict(Xd, yd, md, Xs=Xsd, optimise=True, predict=True)
+    conv, finite = sweep()
     dt = time.perf_counter() - t0
     rate = E / dt
 
-    # sanity: the fits converged and predictions are finite
-    conv_frac = float(np.mean(out["converged"]))
-    assert np.isfinite(out["preds"]["f*"]).all(), "non-finite predictions"
+    conv_frac = float(np.mean(conv))
+    assert finite, "non-finite predictions"
 
     ref_rate = baseline_rate(X, z, Xs, n_sample=4)
     result = {

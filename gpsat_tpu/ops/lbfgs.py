@@ -1,11 +1,17 @@
-"""Batched L-BFGS with per-expert convergence, built on optax.
+"""Batched L-BFGS with per-expert convergence — TPU-first design.
 
 Replaces the reference's per-expert scipy L-BFGS-B loop
 (reference: GPSat/models/gpflow_models.py:317-321 via gpflow.optimizers.Scipy)
-with a single vmapped optimiser: one compiled program optimises a whole batch
-of independent local experts. JAX's while_loop batching rule freezes each
-element's carry once its own convergence predicate fires, so converged experts
-stop moving while the rest continue.
+with one compiled program optimising a whole batch of independent experts.
+
+Design note (the hard-won TPU lesson): the loop lives at the *batch* level and
+only the objective is vmapped. Putting a while_loop inside vmap makes every
+L-BFGS history access a batched dynamic index, which XLA lowers to TPU
+gather/scatter — ~1000x slower than the elementwise/reduction ops used here.
+With a scalar ring pointer the history updates are dynamic-slice ops on a
+[m, B, P] buffer and the whole iteration is VPU-friendly. Per-expert
+convergence is a [B] done-mask; converged experts freeze while others
+continue.
 """
 
 from functools import partial
@@ -27,164 +33,126 @@ class LBFGSResult(dict):
             raise AttributeError(item) from e
 
 
-def _single_lbfgs_custom(fun, x0, max_iter, gtol, ftol, memory_size,
-                         max_linesearch_steps):
-    """Hand-rolled L-BFGS: two-loop recursion over rolling (m, P) history
-    buffers + Armijo backtracking linesearch.
-
-    Compiles ~5-10x faster than the optax zoom-linesearch variant (important:
-    one program per bucket shape) while converging to the same optima on the
-    smooth low-dimensional NLML/ELBO objectives this framework optimises.
-    """
-    P = x0.shape[0]
+def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
+                      gtol, ftol, memory_size, max_linesearch_steps):
+    """Core batch-level loop. x0: [B, P]. Returns (x, f, converged, iters)."""
+    B, P = x0.shape
     m = memory_size
     dtype = x0.dtype
-    value_and_grad = jax.value_and_grad(fun)
 
-    f0, g0 = value_and_grad(x0)
+    f0, g0 = batched_value_and_grad(x0)
 
-    def two_loop(g, S, Y, rho, k):
-        """Two-loop recursion giving the search direction -H g."""
+    def two_loop(g, S, Y, rho, gamma, ptr):
+        """Search direction -H g for all experts; S/Y: [m, B, P], rho: [m, B],
+        gamma: [B]. ptr is the *scalar* ring position of the next write."""
         def bwd(i, carry):
             q, alpha = carry
-            idx = (k - 1 - i) % m
-            valid = i < jnp.minimum(k, m)
-            a_i = jnp.where(valid, rho[idx] * jnp.dot(S[idx], q), 0.0)
-            q = q - a_i * S[idx]
-            return q, alpha.at[idx].set(a_i)
+            idx = jnp.mod(ptr - 1 - i, m)
+            s_i = jax.lax.dynamic_index_in_dim(S, idx, axis=0, keepdims=False)
+            y_i = jax.lax.dynamic_index_in_dim(Y, idx, axis=0, keepdims=False)
+            r_i = jax.lax.dynamic_index_in_dim(rho, idx, axis=0, keepdims=False)
+            a_i = r_i * jnp.sum(s_i * q, axis=-1)          # [B]; rho=0 -> no-op
+            q = q - a_i[:, None] * s_i
+            return q, jax.lax.dynamic_update_index_in_dim(alpha, a_i, idx, axis=0)
 
-        q, alpha = jax.lax.fori_loop(0, m, bwd, (g, jnp.zeros(m, dtype)))
-        # initial Hessian scaling from most recent pair
-        last = (k - 1) % m
-        sy = jnp.dot(S[last], Y[last])
-        yy = jnp.dot(Y[last], Y[last])
-        gamma = jnp.where((k > 0) & (sy > 0) & (yy > 0), sy / yy, 1.0)
-        r = gamma * q
+        q, alpha = jax.lax.fori_loop(0, m, bwd, (g, jnp.zeros((m, B), dtype)))
+        r = gamma[:, None] * q
 
         def fwd(i, r):
-            idx = (k - jnp.minimum(k, m) + i) % m
-            valid = i < jnp.minimum(k, m)
-            b_i = jnp.where(valid, rho[idx] * jnp.dot(Y[idx], r), 0.0)
-            return r + jnp.where(valid, (alpha[idx] - b_i), 0.0) * S[idx]
+            idx = jnp.mod(ptr - m + i, m)
+            s_i = jax.lax.dynamic_index_in_dim(S, idx, axis=0, keepdims=False)
+            y_i = jax.lax.dynamic_index_in_dim(Y, idx, axis=0, keepdims=False)
+            r_i = jax.lax.dynamic_index_in_dim(rho, idx, axis=0, keepdims=False)
+            a_i = jax.lax.dynamic_index_in_dim(alpha, idx, axis=0, keepdims=False)
+            b_i = r_i * jnp.sum(y_i * r, axis=-1)
+            return r + jnp.where(r_i > 0, a_i - b_i, 0.0)[:, None] * s_i
 
         r = jax.lax.fori_loop(0, m, fwd, r)
         return -r
 
-    def linesearch(x, f, g, d):
-        """Armijo backtracking from t=1; returns (t, f_new, accepted)."""
-        gd = jnp.dot(g, d)
+    def linesearch(x, f, g, d, skip):
+        """Batch Armijo backtracking; per-element accept mask. Elements in
+        `skip` (already converged) are treated as accepted so they never
+        drag the loop to max_linesearch_steps."""
+        gd = jnp.sum(g * d, axis=-1)                       # [B]
 
-        def cond(carry):
-            t, f_new, it, done = carry
-            return (~done) & (it < max_linesearch_steps)
+        def cond(c):
+            t, f_new, it, ok = c
+            return (it < max_linesearch_steps) & jnp.any(~ok)
 
-        def body(carry):
-            t, f_new, it, done = carry
-            f_try = fun(x + t * d)
-            ok = jnp.isfinite(f_try) & (f_try <= f + 1e-4 * t * gd)
-            t_next = jnp.where(ok, t, t * 0.5)
-            return t_next, jnp.where(ok, f_try, f_new), it + 1, ok
+        def body(c):
+            t, f_new, it, ok = c
+            f_try = batched_value(x + t[:, None] * d)
+            accept = jnp.isfinite(f_try) & (f_try <= f + 1e-4 * t * gd)
+            newly = (~ok) & accept
+            f_new = jnp.where(newly, f_try, f_new)
+            t = jnp.where(ok | accept, t, t * 0.5)
+            return t, f_new, it + 1, ok | accept
 
+        t0 = jnp.ones(B, dtype)
         t, f_new, it, ok = jax.lax.while_loop(
-            cond, body, (jnp.asarray(1.0, dtype), f, 0, jnp.asarray(False)))
+            cond, body, (t0, f, 0, skip))
         return t, f_new, ok
 
     def cond(carry):
-        it, x, f, g, S, Y, rho, k, done = carry
-        return (it < max_iter) & (~done)
+        it, x, f, g, S, Y, rho, gamma, done, it_done = carry
+        return (it < max_iter) & jnp.any(~done)
 
     def body(carry):
-        it, x, f, g, S, Y, rho, k, done = carry
-        d = two_loop(g, S, Y, rho, k)
-        # safeguard: fall back to steepest descent if not a descent direction
-        gd = jnp.dot(g, d)
+        it, x, f, g, S, Y, rho, gamma, done, it_done = carry
+        d = two_loop(g, S, Y, rho, gamma, it)
+        gd = jnp.sum(g * d, axis=-1)
         bad_dir = ~jnp.isfinite(gd) | (gd >= 0)
-        d = jnp.where(bad_dir, -g, d)
+        d = jnp.where(bad_dir[:, None], -g, d)
 
-        t, f_new, ls_ok = linesearch(x, f, g, d)
-        x_new = x + t * d
-        f_new2, g_new = value_and_grad(x_new)
+        t, f_ls, ls_ok = linesearch(x, f, g, d, done)
+        ls_ok = ls_ok & (~done)   # done elements were skipped, not accepted
+        x_new = x + t[:, None] * d
+        f_new, g_new = batched_value_and_grad(x_new)
 
         s = x_new - x
         yv = g_new - g
-        sy = jnp.dot(s, yv)
-        # curvature condition for a stable inverse-Hessian estimate
-        keep = ls_ok & (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(yv))
-        idx = k % m
-        S = jnp.where(keep, S.at[idx].set(s), S)
-        Y = jnp.where(keep, Y.at[idx].set(yv), Y)
-        rho = jnp.where(keep, rho.at[idx].set(1.0 / jnp.where(sy == 0, 1.0, sy)), rho)
-        k_new = jnp.where(keep, k + 1, k)
+        sy = jnp.sum(s * yv, axis=-1)
+        s_norm = jnp.linalg.norm(s, axis=-1)
+        y_norm = jnp.linalg.norm(yv, axis=-1)
+        keep = ls_ok & (~done) & (sy > 1e-10 * s_norm * y_norm)
 
-        grad_small = jnp.max(jnp.abs(g_new)) < gtol
-        f_change = jnp.abs(f - f_new2) <= ftol * jnp.maximum(
-            jnp.maximum(jnp.abs(f), jnp.abs(f_new2)), 1.0)
-        fail = (~ls_ok) | ~jnp.isfinite(f_new2)
-        new_done = grad_small | f_change | fail
+        ptr = jnp.mod(it, m)
+        zero = jnp.zeros_like(s)
+        S = jax.lax.dynamic_update_index_in_dim(
+            S, jnp.where(keep[:, None], s, zero), ptr, axis=0)
+        Y = jax.lax.dynamic_update_index_in_dim(
+            Y, jnp.where(keep[:, None], yv, zero), ptr, axis=0)
+        rho_new = jnp.where(keep, 1.0 / jnp.where(sy == 0, 1.0, sy), 0.0)
+        rho = jax.lax.dynamic_update_index_in_dim(rho, rho_new, ptr, axis=0)
+        yy = jnp.sum(yv * yv, axis=-1)
+        gamma = jnp.where(keep & (yy > 0), sy / jnp.maximum(yy, 1e-300), gamma)
 
-        # on failure keep the previous point
-        x_out = jnp.where(fail, x, x_new)
-        f_out = jnp.where(fail, f, f_new2)
-        g_out = jnp.where(fail, g, g_new)
-        return it + 1, x_out, f_out, g_out, S, Y, rho, k_new, new_done
+        grad_small = jnp.max(jnp.abs(g_new), axis=-1) < gtol
+        f_change = jnp.abs(f - f_new) <= ftol * jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
+        fail = (~ls_ok) | ~jnp.isfinite(f_new)
+        newly_done = (~done) & (grad_small | f_change | fail)
 
-    S0 = jnp.zeros((m, P), dtype)
-    Y0 = jnp.zeros((m, P), dtype)
-    rho0 = jnp.zeros(m, dtype)
-    done0 = ~jnp.isfinite(f0) | (jnp.max(jnp.abs(g0)) < gtol)
-    carry0 = (jnp.asarray(0), x0, f0, g0, S0, Y0, rho0, jnp.asarray(0), done0)
-    it, x, f, g, S, Y, rho, k, done = jax.lax.while_loop(cond, body, carry0)
-    converged = (jnp.max(jnp.abs(g)) < gtol) | (it < max_iter)
-    return x, f, converged, it
+        # freeze finished/failed experts
+        adv = (~done) & (~fail)
+        x = jnp.where(adv[:, None], x_new, x)
+        f = jnp.where(adv, f_new, f)
+        g = jnp.where(adv[:, None], g_new, g)
+        it_done = jnp.where(newly_done, it + 1, it_done)
+        done = done | newly_done
+        return it + 1, x, f, g, S, Y, rho, gamma, done, it_done
 
-
-def _single_lbfgs(fun, x0, max_iter, gtol, ftol, memory_size,
-                  max_linesearch_steps):
-    """Minimise fun: [P] -> scalar from x0; returns best point seen."""
-    opt = optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=max_linesearch_steps))
-    value_and_grad = optax.value_and_grad_from_state(fun)
-
-    f0, g0 = jax.value_and_grad(fun)(x0)
-    state0 = opt.init(x0)
-
-    def cond(carry):
-        it, x, state, done, best_f, best_x, prev_f = carry
-        return (it < max_iter) & (~done)
-
-    def body(carry):
-        it, x, state, done, best_f, best_x, prev_f = carry
-        value, grad = value_and_grad(x, state=state)
-        updates, new_state = opt.update(grad, state, x, value=value, grad=grad,
-                                        value_fn=fun)
-        new_x = optax.apply_updates(x, updates)
-
-        finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(new_x))
-        improved = finite & (value < best_f)
-        best_f = jnp.where(improved, value, best_f)
-        best_x = jnp.where(improved, x, best_x)
-
-        grad_small = jnp.max(jnp.abs(grad)) < gtol
-        f_change = jnp.abs(prev_f - value) <= ftol * jnp.maximum(
-            jnp.maximum(jnp.abs(prev_f), jnp.abs(value)), 1.0)
-        new_done = grad_small | ((it > 0) & f_change) | (~finite)
-        return it + 1, new_x, new_state, new_done, best_f, best_x, value
-
-    init_best_f = jnp.where(jnp.isfinite(f0), f0, jnp.inf)
-    carry0 = (jnp.asarray(0), x0, state0, jnp.asarray(False),
-              init_best_f, x0, jnp.asarray(jnp.inf, dtype=f0.dtype))
-    it, x, state, done, best_f, best_x, prev_f = jax.lax.while_loop(
+    S0 = jnp.zeros((m, B, P), dtype)
+    Y0 = jnp.zeros((m, B, P), dtype)
+    rho0 = jnp.zeros((m, B), dtype)
+    gamma0 = jnp.ones(B, dtype)
+    done0 = ~jnp.isfinite(f0) | (jnp.max(jnp.abs(g0), axis=-1) < gtol)
+    carry0 = (0, x0, f0, g0, S0, Y0, rho0, gamma0, done0, jnp.zeros(B, jnp.int32))
+    it, x, f, g, S, Y, rho, gamma, done, it_done = jax.lax.while_loop(
         cond, body, carry0)
-
-    # final point may improve on best tracked (best_x trails by one step)
-    f_final = fun(x)
-    final_ok = jnp.isfinite(f_final) & jnp.all(jnp.isfinite(x))
-    use_final = final_ok & (f_final < best_f)
-    best_f = jnp.where(use_final, f_final, best_f)
-    best_x = jnp.where(use_final, x, best_x)
-    return best_x, best_f, done & (it <= max_iter), it
+    it_done = jnp.where(done, it_done, it)
+    return x, f, done, it_done
 
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "gtol", "ftol",
@@ -192,14 +160,25 @@ def _single_lbfgs(fun, x0, max_iter, gtol, ftol, memory_size,
                                    "engine"))
 def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                        memory_size, max_linesearch_steps, engine="custom"):
-    single = _single_lbfgs_custom if engine == "custom" else _single_lbfgs
+    if engine == "optax":
+        return _optax_fallback(fun, x0, args, max_iter, gtol, ftol,
+                               memory_size, max_linesearch_steps)
 
-    def run_one(x0_i, args_i):
-        f = lambda x: fun(x, *args_i)
-        return single(f, x0_i, max_iter, gtol, ftol, memory_size,
-                      max_linesearch_steps)
+    args = tuple(args)
 
-    return jax.vmap(run_one)(x0, tuple(args))
+    def value(x):
+        if args:
+            return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, args)
+        return jax.vmap(fun)(x)
+
+    def value_and_grad(x):
+        if args:
+            return jax.vmap(lambda xi, ai: jax.value_and_grad(
+                lambda u: fun(u, *ai))(xi))(x, args)
+        return jax.vmap(jax.value_and_grad(fun))(x)
+
+    return _batch_lbfgs_loop(value_and_grad, value, x0, max_iter, gtol, ftol,
+                             memory_size, max_linesearch_steps)
 
 
 def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
@@ -221,3 +200,61 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
                                            gtol, ftol, memory_size,
                                            max_linesearch_steps, engine)
     return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters)
+
+
+# ---------------------------------------------------------------------------
+# optax zoom-linesearch engine (per-element while inside vmap) — kept as a
+# numerical cross-check; slow on TPU (batched-index gathers), fine on CPU.
+# ---------------------------------------------------------------------------
+
+def _optax_single(fun, x0, max_iter, gtol, ftol, memory_size,
+                  max_linesearch_steps):
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps))
+    value_and_grad = optax.value_and_grad_from_state(fun)
+    f0, g0 = jax.value_and_grad(fun)(x0)
+    state0 = opt.init(x0)
+
+    def cond(carry):
+        it, x, state, done, best_f, best_x, prev_f = carry
+        return (it < max_iter) & (~done)
+
+    def body(carry):
+        it, x, state, done, best_f, best_x, prev_f = carry
+        value, grad = value_and_grad(x, state=state)
+        updates, new_state = opt.update(grad, state, x, value=value, grad=grad,
+                                        value_fn=fun)
+        new_x = optax.apply_updates(x, updates)
+        finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(new_x))
+        improved = finite & (value < best_f)
+        best_f = jnp.where(improved, value, best_f)
+        best_x = jnp.where(improved, x, best_x)
+        grad_small = jnp.max(jnp.abs(grad)) < gtol
+        f_change = jnp.abs(prev_f - value) <= ftol * jnp.maximum(
+            jnp.maximum(jnp.abs(prev_f), jnp.abs(value)), 1.0)
+        new_done = grad_small | ((it > 0) & f_change) | (~finite)
+        return it + 1, new_x, new_state, new_done, best_f, best_x, value
+
+    init_best_f = jnp.where(jnp.isfinite(f0), f0, jnp.inf)
+    carry0 = (jnp.asarray(0), x0, state0, jnp.asarray(False),
+              init_best_f, x0, jnp.asarray(jnp.inf, dtype=f0.dtype))
+    it, x, state, done, best_f, best_x, prev_f = jax.lax.while_loop(
+        cond, body, carry0)
+    f_final = fun(x)
+    final_ok = jnp.isfinite(f_final) & jnp.all(jnp.isfinite(x))
+    use_final = final_ok & (f_final < best_f)
+    best_f = jnp.where(use_final, f_final, best_f)
+    best_x = jnp.where(use_final, x, best_x)
+    return best_x, best_f, done & (it <= max_iter), it
+
+
+def _optax_fallback(fun, x0, args, max_iter, gtol, ftol, memory_size,
+                    max_linesearch_steps):
+    def run_one(x0_i, args_i):
+        f = lambda x: fun(x, *args_i)
+        return _optax_single(f, x0_i, max_iter, gtol, ftol, memory_size,
+                             max_linesearch_steps)
+
+    return jax.vmap(run_one)(x0, tuple(args))

@@ -23,10 +23,28 @@ def bucket_level(n, levels=None):
     return int(n)
 
 
-def auto_batch_size(n_max, p_max=0, budget_elems=2**27, dtype_bytes=8,
+def _default_budget_elems():
+    """Element budget for the dominant [B, N, N] temporaries.
+
+    The L-BFGS program holds ~a dozen [B, N, N] buffers live (kernel matrix,
+    Cholesky factor + its VJP triangular-solve temps, linesearch residuals).
+    Accelerators (16 GB HBM on v5e) get a tighter budget than hosts.
+    """
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            return 2**25        # ~134 MB per f32 buffer
+    except Exception:
+        pass
+    return 2**26                # ~512 MB per f64 buffer on host
+
+
+def auto_batch_size(n_max, p_max=0, budget_elems=None, dtype_bytes=8,
                     max_batch=4096):
     """Batch size bounded by ~budget_elems elements for the dominant [B, N, N]
-    kernel matrix (default ~1 GiB of f64 at 2^27)."""
+    kernel matrix."""
+    if budget_elems is None:
+        budget_elems = _default_budget_elems()
     per_expert = max(n_max * n_max + 2 * n_max * max(p_max, 1), 1)
     b = max(1, int(budget_elems // per_expert))
     return int(min(b, max_batch))
