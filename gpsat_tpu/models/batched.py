@@ -198,6 +198,9 @@ class BatchedGPR:
         u0 = jax.vmap(lambda fr: pack({n: bij[n].inverse(fr[n])
                                        for n in self.free_names}, spec))(
             {n: jnp.asarray(v, dtype=self.dtype) for n, v in free.items()})
+        # the unbatched bijector bounds may be float64; without this cast the
+        # whole L-BFGS program silently promotes to (TPU-emulated) f64
+        u0 = u0.astype(self.dtype)
         bij_b = jax.tree.map(
             lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
                                        (B,) + jnp.asarray(a).shape), bij)
