@@ -479,12 +479,16 @@ class LocalExpertOI:
     def _make_engine(self, init_params, constraints, coords_col):
         from gpsat_tpu.models.exact_gpr import GPRModel
         from gpsat_tpu.models.sgpr import SGPRModel
-        engines = {GPRModel: BatchedGPR, SGPRModel: BatchedSGPR}
+        from gpsat_tpu.models.svgp import SVGPModel
+        from gpsat_tpu.models.batched import BatchedSVGP
+        engines = {GPRModel: BatchedGPR, SGPRModel: BatchedSGPR,
+                   SVGPModel: BatchedSVGP}
         engine_cls = engines.get(self.model)
         if engine_cls is None:
             # fall back by name for custom subclasses
-            engine_cls = BatchedSGPR if "SGPR" in getattr(
-                self.model, "__name__", "") else BatchedGPR
+            name = getattr(self.model, "__name__", "")
+            engine_cls = (BatchedSVGP if "SVGP" in name else
+                          BatchedSGPR if "SGPR" in name else BatchedGPR)
         ip = {k: v for k, v in init_params.items()
               if k not in ("coords_scale", "obs_scale", "obs_mean")}
         return engine_cls(coords_dim=len(coords_col),

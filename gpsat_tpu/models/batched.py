@@ -412,3 +412,173 @@ class BatchedSGPR(BatchedGPR):
             optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
             jitter=self.jitter)
+
+
+# ---------------------------------------------------------------------------
+# SVGP batched engine: Adam with per-expert plateau early stop
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
+                                   "do_predict", "max_iter", "lr",
+                                   "check_every", "persistence", "jitter",
+                                   "early_stop"))
+def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, bijectors,
+                      fixed, *, kernel, free_names, d, optimise, do_predict,
+                      max_iter, lr, check_every, persistence, jitter,
+                      early_stop):
+    """Batched SVGP: Adam on (hypers, q_mu, q_sqrt) with per-expert early
+    stopping, then posterior prediction. Loop at batch level (see lbfgs.py
+    design note)."""
+    import optax
+    from gpsat_tpu.ops import svgp as svgp_math
+    from gpsat_tpu.ops.packing import ParamSpec
+
+    B = X.shape[0]
+    shapes = {"lengthscales": (d,), "kernel_variance": (),
+              "likelihood_variance": ()}
+    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+
+    def constrained(ui, bi, fi):
+        free = unpack(ui, spec)
+        params = dict(fi)
+        for n in free_names:
+            params[n] = bi[n].forward(free[n])
+        return params
+
+    def per_elbo(theta):
+        def one(ui, qmi, qsi, xi, yi, mi, zi, zmi, bi, fi):
+            p = constrained(ui, bi, fi)
+            return svgp_math.elbo(p, qmi, qsi, xi, yi, mi, zi, zmi,
+                                  kernel=kernel, jitter=jitter)
+        return jax.vmap(one)(theta["u"], theta["qm"], theta["qs"], X, y, mask,
+                             Z, zmask, bijectors, fixed)
+
+    theta0 = {"u": u0, "qm": qm0, "qs": qs0}
+
+    if optimise:
+        opt = optax.adam(lr)
+        state0 = opt.init(theta0)
+
+        def neg_sum(theta):
+            return -jnp.sum(per_elbo(theta))
+
+        def cond(c):
+            it, theta, state, done, best, cnt, last = c
+            return (it < max_iter) & jnp.any(~done)
+
+        def body(c):
+            it, theta, state, done, best, cnt, last = c
+            vals = per_elbo(theta)
+            g = jax.grad(neg_sum)(theta)
+            # freeze finished experts: zero their gradients
+            g = jax.tree.map(
+                lambda a: jnp.where(done.reshape((B,) + (1,) * (a.ndim - 1)),
+                                    0.0, a), g)
+            updates, state = opt.update(g, state)
+            theta = optax.apply_updates(theta, updates)
+
+            is_check = (it % check_every) == 0
+            nan_fail = ~jnp.isfinite(vals)
+            improved = vals > best
+            best = jnp.where(is_check & improved & ~done, vals, best)
+            cnt = jnp.where(is_check,
+                            jnp.where(improved | done, cnt * 0,
+                                      cnt + check_every), cnt)
+            plateau = cnt >= persistence
+            newly = (~done) & is_check & (nan_fail | (plateau & early_stop))
+            done = done | newly
+            return it + 1, theta, state, done, best, cnt, vals
+
+        best0 = jnp.full(B, -jnp.inf, dtype=X.dtype)
+        cnt0 = jnp.zeros(B, dtype=jnp.int32)
+        done0 = jnp.zeros(B, dtype=bool)
+        it, theta, state, done, best, cnt, last = jax.lax.while_loop(
+            cond, body, (0, theta0, state0, done0, best0, cnt0,
+                         jnp.zeros(B, dtype=X.dtype)))
+        conv = done & jnp.isfinite(last)
+        iters = jnp.full(B, it, dtype=jnp.int32)
+    else:
+        theta = theta0
+        conv = jnp.zeros(B, dtype=bool)
+        iters = jnp.zeros(B, dtype=jnp.int32)
+
+    vals = per_elbo(theta)
+    params = jax.vmap(constrained)(theta["u"], bijectors, fixed)
+
+    if do_predict:
+        from gpsat_tpu.ops import svgp as svgp_math2
+        preds = jax.vmap(
+            lambda p, qmi, qsi, zi, zmi, xsi: svgp_math2.predict(
+                p, qmi, qsi, zi, zmi, xsi, kernel=kernel, jitter=jitter))(
+            params, theta["qm"], theta["qs"], Z, zmask, Xs)
+    else:
+        preds = {}
+    # report the *negative* ELBO so the base-class restart logic (lower =
+    # better) keeps working; BatchedSVGP flips the sign on output
+    return params, -vals, conv, iters, preds, theta["qm"], theta["qs"]
+
+
+class BatchedSVGP(BatchedSGPR):
+    """Batched SVGP engine (reference: GPflowSVGPModel,
+    GPSat/models/gpflow_models.py:904). Full-batch Adam by default (the
+    reference's default when minibatch_size is None)."""
+
+    model_name = "SVGPModel"
+
+    def __init__(self, coords_dim, num_inducing_points=500,
+                 learning_rate=1e-2, minibatch_size=None, **kwargs):
+        optim_kwargs = dict(kwargs.pop("optim_kwargs", None) or {})
+        self.learning_rate = float(optim_kwargs.pop("learning_rate", learning_rate))
+        self.check_every = int(optim_kwargs.pop("check_every", 10))
+        self.persistence = int(optim_kwargs.pop("persistence", 100))
+        self.early_stop = bool(optim_kwargs.pop("early_stop", True))
+        optim_kwargs.setdefault("max_iter", 2000)
+        super().__init__(coords_dim, num_inducing_points=num_inducing_points,
+                         optim_kwargs=optim_kwargs, **kwargs)
+        if minibatch_size is not None:
+            import warnings
+            warnings.warn("minibatch_size ignored: the batched SVGP engine "
+                          "uses full-batch Adam (per-expert N is already "
+                          "bounded by the training radius)")
+
+    @property
+    def param_names(self):
+        return list(self.HYPER_NAMES) + ["inducing_points", "inducing_mean",
+                                         "inducing_chol"]
+
+    def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
+                    param_overrides=None):
+        self._Z, self._zmask = self._build_inducing(X, mask)
+        B, M = self._zmask.shape
+        self._qm0 = np.zeros((B, M))
+        self._qs0 = np.broadcast_to(np.eye(M), (B, M, M)).copy()
+        if param_overrides:
+            if param_overrides.get("inducing_mean") is not None:
+                ov = np.asarray(param_overrides["inducing_mean"])
+                ok = ~np.isnan(ov).any(axis=tuple(range(1, ov.ndim)))
+                self._qm0[ok] = ov.reshape(B, -1)[ok, :M]
+        out = BatchedGPR.fit_predict(self, X, y, mask, Xs=Xs,
+                                     optimise=optimise, predict=predict,
+                                     param_overrides=param_overrides)
+        out["objective"] = -out["objective"]   # report the ELBO
+        out["params"]["inducing_points"] = self._Z * self._zmask[:, :, None]
+        out["params"]["inducing_mean"] = self._qm_final
+        out["params"]["inducing_chol"] = self._qs_final
+        out["inducing_mask"] = self._zmask
+        return out
+
+    def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
+                      do_predict):
+        params, fval, conv, iters, preds, qm, qs = _svgp_fit_predict(
+            u0, jnp.asarray(self._qm0, dtype=self.dtype),
+            jnp.asarray(self._qs0, dtype=self.dtype),
+            X, y, jnp.asarray(mask), jnp.asarray(self._Z, dtype=self.dtype),
+            jnp.asarray(self._zmask), Xs_in, bij_b, fixed,
+            kernel=self.kernel, free_names=self.free_names, d=self.d,
+            optimise=bool(optimise), do_predict=bool(do_predict),
+            max_iter=self.max_iter, lr=self.learning_rate,
+            check_every=self.check_every, persistence=self.persistence,
+            jitter=self.jitter, early_stop=self.early_stop)
+        self._qm_final = np.asarray(qm)
+        self._qs_final = np.asarray(qs)
+        return params, fval, conv, iters, preds

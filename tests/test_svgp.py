@@ -1,0 +1,171 @@
+"""SVGP tests.
+
+Key oracle: with fixed hyperparameters, maximising the whitened SVGP ELBO
+over (q_mu, q_sqrt) approaches the SGPR collapsed bound at the same inducing
+set (the collapsed bound IS the optimal-q bound).
+"""
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpsat_tpu.ops import sgpr as sgpr_math
+from gpsat_tpu.ops import svgp as svgp_math
+from gpsat_tpu.models.svgp import SVGPModel
+from gpsat_tpu.models.batched import BatchedSVGP
+
+
+def make_data(n=50, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(X[:, 0]) + 0.5 * np.cos(2 * X[:, 1]) + 0.1 * rng.standard_normal(n)
+    return X, y
+
+
+PARAMS = {"lengthscales": jnp.asarray(np.array([0.9, 1.3])),
+          "kernel_variance": jnp.asarray(0.8),
+          "likelihood_variance": jnp.asarray(0.05)}
+
+
+def test_optimal_q_elbo_matches_collapsed_bound():
+    X, y = make_data(40)
+    m = jnp.ones(len(y), dtype=bool)
+    rng = np.random.default_rng(0)
+    M = 15
+    Z = jnp.asarray(X[rng.permutation(len(y))[:M]])
+    zm = jnp.ones(M, dtype=bool)
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+
+    collapsed = float(sgpr_math.elbo(PARAMS, Xj, yj, m, Z, zm))
+
+    # optimise q only with Adam
+    theta = {"qm": jnp.zeros(M), "qs": jnp.eye(M)}
+    loss = lambda t: svgp_math.neg_elbo(PARAMS, t["qm"], t["qs"], Xj, yj, m,
+                                        Z, zm)
+    opt = optax.adam(5e-2)
+    state = opt.init(theta)
+
+    @jax.jit
+    def step(theta, state):
+        v, g = jax.value_and_grad(loss)(theta)
+        u, state = opt.update(g, state)
+        return optax.apply_updates(theta, u), state, v
+
+    for _ in range(800):
+        theta, state, v = step(theta, state)
+    achieved = -float(v)
+    assert achieved <= collapsed + 1e-4
+    assert np.isclose(achieved, collapsed, atol=0.05), (achieved, collapsed)
+
+
+def test_masked_elbo_equals_unpadded():
+    X, y = make_data(30)
+    n_valid, pad, Mv, Mpad = 20, 32, 10, 16
+    rng = np.random.default_rng(1)
+    Z = X[rng.permutation(30)[:Mv]]
+    qm = rng.standard_normal(Mv)
+    qs = np.tril(rng.standard_normal((Mv, Mv)) * 0.1 + np.eye(Mv))
+
+    Xp = np.zeros((pad, 2)); Xp[:n_valid] = X[:n_valid]
+    yp = np.zeros(pad); yp[:n_valid] = y[:n_valid]
+    mk = np.arange(pad) < n_valid
+    Zp = np.zeros((Mpad, 2)); Zp[:Mv] = Z
+    zmp = np.arange(Mpad) < Mv
+    qmp = np.zeros(Mpad); qmp[:Mv] = qm
+    qsp = np.eye(Mpad); qsp[:Mv, :Mv] = qs
+
+    got = float(svgp_math.elbo(PARAMS, jnp.asarray(qmp), jnp.asarray(qsp),
+                               jnp.asarray(Xp), jnp.asarray(yp),
+                               jnp.asarray(mk), jnp.asarray(Zp),
+                               jnp.asarray(zmp)))
+    want = float(svgp_math.elbo(PARAMS, jnp.asarray(qm), jnp.asarray(qs),
+                                jnp.asarray(X[:n_valid]),
+                                jnp.asarray(y[:n_valid]),
+                                jnp.ones(n_valid, dtype=bool),
+                                jnp.asarray(Z), jnp.ones(Mv, dtype=bool)))
+    assert np.isclose(got, want, atol=1e-8), (got, want)
+
+
+def test_svgp_model_class():
+    X, y = make_data(60)
+    m = SVGPModel(coords=X, obs=y[:, None], obs_mean="local",
+                  num_inducing_points=20)
+    assert m.inducing_points.shape == (20, 2)
+    assert set(m.param_names) >= {"inducing_mean", "inducing_chol"}
+    assert m.get_inducing_mean().shape == (20, 1)
+    assert m.get_inducing_chol().shape == (1, 20, 20)
+    e0 = m.get_objective_function_value()
+    ok = m.optimise_parameters(max_iter=500, learning_rate=5e-2)
+    assert m.get_objective_function_value() > e0
+    out = m.predict(np.array([[0.0, 0.0]]))
+    for k in ("f*", "f*_var", "y_var", "f_bar"):
+        assert k in out
+    # variational parameter round-trip
+    m2 = SVGPModel(coords=X, obs=y[:, None], obs_mean="local",
+                   num_inducing_points=20)
+    m2.set_parameters(**m.get_parameters())
+    assert np.isclose(m2.get_objective_function_value(),
+                      m.get_objective_function_value(), atol=1e-8)
+
+
+def test_batched_svgp_engine():
+    B, N, D, M = 3, 48, 2, 16
+    Xb, yb = [], []
+    for i in range(B):
+        X, y = make_data(N, d=D, seed=20 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((B, N), dtype=bool)
+    Xs = np.stack([make_data(7, d=D, seed=99)[0]] * B)
+
+    engine = BatchedSVGP(coords_dim=D, num_inducing_points=M,
+                         optim_kwargs={"max_iter": 600, "persistence": 100})
+    out = engine.fit_predict(Xb, yb, mask, Xs=Xs, optimise=True, predict=True)
+    assert np.isfinite(out["objective"]).all()
+    assert np.isfinite(out["preds"]["f*"]).all()
+    assert out["params"]["inducing_mean"].shape == (B, M)
+    assert out["params"]["inducing_chol"].shape == (B, M, M)
+
+    # the per-expert ELBO should approach its SGPR collapsed bound at the
+    # learnt hyperparameters (same inducing set)
+    for i in range(B):
+        p = {k: jnp.asarray(out["params"][k][i])
+             for k in ("lengthscales", "kernel_variance", "likelihood_variance")}
+        bound = float(sgpr_math.elbo(
+            p, jnp.asarray(Xb[i]), jnp.asarray(yb[i]),
+            jnp.ones(N, dtype=bool), jnp.asarray(out["params"]["inducing_points"][i]),
+            jnp.ones(M, dtype=bool)))
+        assert out["objective"][i] <= bound + 1e-3
+        assert out["objective"][i] > bound - 3.0, \
+            f"expert {i}: elbo {out['objective'][i]} far below bound {bound}"
+
+
+def test_svgp_orchestrated_run(tmp_path):
+    from gpsat_tpu.local_experts import LocalExpertOI, get_results_from_h5file
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({"x": rng.uniform(-50, 50, n),
+                       "y": rng.uniform(-50, 50, n), "t": 0.0})
+    df["z"] = np.sin(df["x"] / 20) + 0.05 * rng.standard_normal(n)
+    eloc = pd.DataFrame({"x": [0.0], "y": [0.0], "t": [0.0]})
+    locexp = LocalExpertOI(
+        expert_loc_config={"source": eloc},
+        data_config={"data_source": df, "obs_col": "z",
+                     "coords_col": ["x", "y", "t"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<",
+                                       "val": 60.0}]},
+        model_config={"oi_model": "SVGPModel",
+                      "init_params": {"coords_scale": [20, 20, 1],
+                                      "num_inducing_points": 32},
+                      "optim_kwargs": {"max_iter": 800}},
+        pred_loc_config={"method": "expert_loc"})
+    store = str(tmp_path / "svgp.h5")
+    locexp.run(store_path=store, optimise=True, check_config_compatible=False,
+               verbose=False)
+    dfs, _ = get_results_from_h5file(store)
+    assert "inducing_mean" in dfs
+    assert "inducing_chol" in dfs
+    pred = dfs["preds"]
+    assert abs(pred["f*"].iloc[0] + pred["f_bar"].iloc[0] - np.sin(0)) < 0.25
