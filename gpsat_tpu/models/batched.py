@@ -77,10 +77,16 @@ class BatchedGPR:
     def __init__(self, coords_dim, kernel="Matern32", kernel_kwargs=None,
                  noise_variance=None, likelihood_variance=None,
                  constraints=None, coords_scale=None, optim_kwargs=None,
-                 jitter=0.0, dtype=jnp.float64, **unused):
+                 jitter=0.0, dtype=None, **unused):
         self.d = int(coords_dim)
         self.kernel = kernel
-        self.dtype = dtype
+        if dtype is None:
+            # f64 is host-only: TPUs emulate it ~100x slower. Scaled coords +
+            # jitter keep f32 Cholesky well-conditioned on device.
+            dtype = jnp.float64 if jax.devices()[0].platform == "cpu"                 else jnp.float32
+        self.dtype = dtype if not isinstance(dtype, str) else jnp.dtype(dtype).type
+        if jitter == 0.0 and self.dtype == jnp.float32:
+            jitter = 1e-6
         kernel_kwargs = dict(kernel_kwargs or {})
 
         self.user_set = {

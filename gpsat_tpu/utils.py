@@ -562,6 +562,8 @@ def json_serializable(d, max_len_df=100):
 def nested_dict_literal_eval(d, verbose=False):
     """Convert "('a', 'b')"-style str keys back to tuple keys
     (reference: GPSat/utils.py:31)."""
+    if isinstance(d, list):
+        return [nested_dict_literal_eval(v, verbose) for v in d]
     if not isinstance(d, dict):
         return d
     out = {}
@@ -851,3 +853,13 @@ def sparse_true_array(shape, grid_space=1, grid_space_offset=0):
     slices = tuple(slice(grid_space_offset, None, grid_space) for _ in shape)
     out[slices] = True
     return out
+
+
+def datetime_to_day_float(vals):
+    """Datetime-ish values (datetime64, str, pandas col) -> float days
+    (datetime64[D]-as-float, the reference's 't' coordinate convention:
+    examples/inline_example.py:140)."""
+    arr = np.asarray(vals)
+    if arr.dtype.kind != "M":
+        arr = np.asarray(arr, dtype="datetime64[s]")
+    return arr.astype("datetime64[D]").astype(float)
