@@ -448,6 +448,11 @@ class LocalExpertOI:
                 if Xs is not None:
                     (Xs,) = shard_experts((Xs,), mesh)
 
+            # engines needing per-expert locations (e.g. VFF box domains)
+            el_scaled = np.zeros((B, d))
+            el_scaled[:len(ids)] = xprt_locs.loc[ids, coords_col].values / coords_scale
+            engine._expert_locs_scaled = el_scaled
+
             result = engine.fit_predict(X, y, mask, Xs=Xs, optimise=optimise,
                                         predict=predict, param_overrides=ov)
             bucket_time = time.perf_counter() - t0
@@ -480,15 +485,17 @@ class LocalExpertOI:
         from gpsat_tpu.models.exact_gpr import GPRModel
         from gpsat_tpu.models.sgpr import SGPRModel
         from gpsat_tpu.models.svgp import SVGPModel
-        from gpsat_tpu.models.batched import BatchedSVGP
+        from gpsat_tpu.models.vff import VFFModel
+        from gpsat_tpu.models.batched import BatchedSVGP, BatchedVFF
         engines = {GPRModel: BatchedGPR, SGPRModel: BatchedSGPR,
-                   SVGPModel: BatchedSVGP}
+                   SVGPModel: BatchedSVGP, VFFModel: BatchedVFF}
         engine_cls = engines.get(self.model)
         if engine_cls is None:
             # fall back by name for custom subclasses
             name = getattr(self.model, "__name__", "")
             engine_cls = (BatchedSVGP if "SVGP" in name else
-                          BatchedSGPR if "SGPR" in name else BatchedGPR)
+                          BatchedSGPR if "SGPR" in name else
+                          BatchedVFF if "VFF" in name else BatchedGPR)
         ip = {k: v for k, v in init_params.items()
               if k not in ("coords_scale", "obs_scale", "obs_mean")}
         return engine_cls(coords_dim=len(coords_col),

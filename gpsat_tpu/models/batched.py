@@ -136,6 +136,7 @@ class BatchedGPR:
                                                high=jnp.asarray(high[0]))
             self.bounds[name] = (low, high)
 
+        self._expert_locs_scaled = None
         # shared initial values moved inside bounds (tol matches the
         # orchestrator call in the reference, GPSat/local_experts.py:1115)
         for name, (low, high) in self.bounds.items():
@@ -252,11 +253,11 @@ class BatchedGPR:
             init, Xj, yj, mask_np, Xs_in, optimise, do_predict)
 
         if optimise and self.free_names:
-            kv = np.asarray(params.get("kernel_variance",
-                                       np.ones(B)))
+            kv = np.asarray(params.get("kernel_variance", np.ones(B)))
+            kv_eff = kv.reshape(B, -1).prod(axis=1)   # per-dim variances: product
             active = mask_np.any(axis=1)
             collapsed = active & (
-                (kv < np.maximum(1e-4 * y_var, 1e-12)) |
+                (kv_eff < np.maximum(1e-4 * y_var, 1e-12)) |
                 ~np.isfinite(np.asarray(fval)))
             if collapsed.any():
                 alt = self._initial_params_batch(B, param_overrides,
@@ -588,3 +589,162 @@ class BatchedSVGP(BatchedSGPR):
         self._qm_final = np.asarray(qm)
         self._qs_final = np.asarray(qs)
         return params, fval, conv, iters, preds
+
+
+# ---------------------------------------------------------------------------
+# VFF batched engine: per-expert box domains, Kronecker Fourier features
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("kernel", "free_names", "d", "ms",
+                                   "optimise", "do_predict", "max_iter",
+                                   "gtol", "ftol", "jitter"))
+def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
+                     free_names, d, ms, optimise, do_predict, max_iter, gtol,
+                     ftol, jitter):
+    from gpsat_tpu.ops import vff as vff_math
+    from gpsat_tpu.ops.packing import ParamSpec
+
+    shapes = {"lengthscales": (d,), "kernel_variance": (d,),
+              "likelihood_variance": ()}
+    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+
+    def objective(u, X, y, mask, a, b, bijectors, fixed):
+        free = unpack(u, spec)
+        params = dict(fixed)
+        for n in free_names:
+            params[n] = bijectors[n].forward(free[n])
+        return vff_math.neg_elbo(params, X, y, mask, a, b, ms, kernel=kernel,
+                                 jitter=jitter)
+
+    if optimise and free_names:
+        u, fval, conv, iters = _batched_lbfgs_jit(
+            objective, u0, (X, y, mask, a, b, bijectors, fixed),
+            max_iter, gtol, ftol, 10, 30, "custom")
+    else:
+        u = u0
+        fval = jax.vmap(objective)(u0, X, y, mask, a, b, bijectors, fixed)
+        conv = jnp.zeros(u0.shape[0], dtype=bool)
+        iters = jnp.zeros(u0.shape[0], dtype=jnp.int32)
+
+    def constrained(ui, bi, fi):
+        free = unpack(ui, spec)
+        params = dict(fi)
+        for n in free_names:
+            params[n] = bi[n].forward(free[n])
+        return params
+
+    params = jax.vmap(constrained)(u, bijectors, fixed)
+
+    if do_predict:
+        preds = jax.vmap(
+            lambda p, xi, yi, mi, ai, bi, xsi: vff_math.predict(
+                p, xi, yi, mi, xsi, ai, bi, ms, kernel=kernel, jitter=jitter))(
+            params, X, y, mask, a, b, Xs)
+    else:
+        preds = {}
+    return params, fval, conv, iters, preds
+
+
+class BatchedVFF(BatchedGPR):
+    """Batched VFF engine (reference model: GPflowVFFModel,
+    GPSat/models/vff_model.py:48). Needs per-expert box domains: the
+    orchestrator sets `engine._expert_locs_scaled` ([B, D] scaled expert
+    coordinates) before fit_predict; domains are expert_loc +- domain_size
+    (scaled), expanded to cover each expert's data."""
+
+    model_name = "VFFModel"
+    objective_sign = -1.0
+
+    def __init__(self, coords_dim, kernel="Matern32",
+                 num_inducing_features=None, domain_size=None,
+                 jitter=None, **kwargs):
+        from gpsat_tpu.ops import vff as vff_math
+        assert num_inducing_features is not None, \
+            "num_inducing_features must be specified for VFF"
+        super().__init__(coords_dim, kernel=kernel,
+                         jitter=vff_math.DEFAULT_JITTER if jitter is None else jitter,
+                         **kwargs)
+        self.jitter = float(vff_math.DEFAULT_JITTER if jitter is None else jitter)
+        d = self.d
+        if isinstance(num_inducing_features, int):
+            num_inducing_features = [num_inducing_features] * d
+        self.ms = tuple(int(m) for m in num_inducing_features)
+        if isinstance(domain_size, (int, float)) or domain_size is None:
+            domain_size = [domain_size] * d
+        self.domain_size = domain_size
+        # per-dim kernel variance: widen the scalar init
+        kv0 = float(np.atleast_1d(self.init_values["kernel_variance"])[0])
+        self.init_values["kernel_variance"] = np.full(d, kv0 ** (1.0 / d))
+        self._expert_locs_scaled = None
+
+    def param_shape(self, name):
+        if name == "kernel_variance":
+            return (self.d,)
+        return super().param_shape(name)
+
+    def _initial_params_batch(self, B, overrides=None, y_var=None, scale=1.0,
+                              clamp=True):
+        out = super()._initial_params_batch(B, overrides, y_var=None,
+                                            clamp=clamp)
+        # smart per-dim variance init: product equals per-expert signal var
+        if y_var is not None and not self.user_set.get("kernel_variance", True):
+            kv = np.maximum(y_var, 1e-10)[:, None] ** (1.0 / self.d) * scale
+            if overrides is None or overrides.get("kernel_variance") is None:
+                out["kernel_variance"] = np.broadcast_to(kv, (B, self.d)).copy()
+        if y_var is not None and not self.user_set.get("likelihood_variance", True):
+            if overrides is None or overrides.get("likelihood_variance") is None:
+                out["likelihood_variance"] = np.maximum(0.1 * y_var, 1e-10) * scale
+        return out
+
+    def _build_domains(self, X, mask):
+        X = np.asarray(X)
+        mask = np.asarray(mask)
+        B, N, d = X.shape
+        big = 1e30
+        xm = np.where(mask[:, :, None], X, big)
+        xM = np.where(mask[:, :, None], X, -big)
+        data_min = xm.min(axis=1)
+        data_max = xM.max(axis=1)
+        # empty experts: harmless placeholder domain
+        empty = ~mask.any(axis=1)
+        data_min[empty] = 0.0
+        data_max[empty] = 1.0
+        if self._expert_locs_scaled is not None:
+            el = np.asarray(self._expert_locs_scaled)
+        else:
+            cnt = np.maximum(mask.sum(axis=1), 1)[:, None]
+            el = (X * mask[:, :, None]).sum(axis=1) / cnt
+        a = np.empty((B, d))
+        b = np.empty((B, d))
+        cs = np.broadcast_to(self.coords_scale.reshape(-1), (d,))
+        for i in range(d):
+            ds = self.domain_size[i]
+            if ds is None:
+                a[:, i] = data_min[:, i] - 1e-8
+                b[:, i] = data_max[:, i] + 1e-8
+            else:
+                a[:, i] = np.minimum(el[:, i] - ds / cs[i],
+                                     data_min[:, i] - 1e-8)
+                b[:, i] = np.maximum(el[:, i] + ds / cs[i],
+                                     data_max[:, i] + 1e-8)
+        return a, b
+
+    def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
+                    param_overrides=None):
+        self._a, self._b = self._build_domains(X, mask)
+        out = BatchedGPR.fit_predict(self, X, y, mask, Xs=Xs,
+                                     optimise=optimise, predict=predict,
+                                     param_overrides=param_overrides)
+        out["objective"] = -out["objective"]   # report the ELBO
+        return out
+
+    def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
+                      do_predict):
+        return _vff_fit_predict(
+            u0, X, y, jnp.asarray(mask),
+            jnp.asarray(self._a, dtype=self.dtype),
+            jnp.asarray(self._b, dtype=self.dtype), Xs_in, bij_b, fixed,
+            kernel=self.kernel, free_names=self.free_names, d=self.d,
+            ms=self.ms, optimise=bool(optimise), do_predict=bool(do_predict),
+            max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
+            jitter=self.jitter)
