@@ -21,10 +21,20 @@ from gpsat_tpu.utils import match, to_array
 __all__ = ["PredictionLocations", "max_dist_bool"]
 
 
-def max_dist_bool(locs, ref_loc, max_dist, chunk=4_000_000):
+def max_dist_bool(locs, ref_loc, max_dist, chunk=4_000_000, use_native=True):
     """Bool mask of rows of `locs` [n, d] within euclidean `max_dist` of
-    `ref_loc` [d]; chunked to bound memory for ~1e8-row inputs."""
+    `ref_loc` [d]; chunked to bound memory for ~1e8-row inputs.
+
+    Large inputs route through the native C++/OpenMP kernel
+    (gpsat_tpu/native/hostops.cpp) when available."""
     locs = np.asarray(locs)
+    if use_native and len(locs) >= 100_000:
+        try:
+            from gpsat_tpu import native
+            if native._load() is not None:
+                return native.max_dist_bool(locs, ref_loc, max_dist)
+        except Exception:
+            pass
     ref = np.asarray(ref_loc).reshape(-1)
     out = np.empty(len(locs), dtype=bool)
     md2 = float(max_dist) ** 2
