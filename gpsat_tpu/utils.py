@@ -863,3 +863,69 @@ def datetime_to_day_float(vals):
     if arr.dtype.kind != "M":
         arr = np.asarray(arr, dtype="datetime64[s]")
     return arr.astype("datetime64[D]").astype(float)
+
+
+def guess_track_num(x, thresh, start_track=0):
+    """Infer satellite track numbers from jumps in a (time-like) column:
+    increment the track counter whenever successive values jump by more than
+    `thresh` (reference: GPSat/utils.py:2466, numba-jit there)."""
+    x = np.asarray(x)
+    if len(x) == 0:
+        return np.array([])
+    jumps = np.abs(np.diff(x)) > thresh
+    track = np.concatenate([[0], np.cumsum(jumps)]) + start_track
+    return track.astype(float)
+
+
+def compare_dataframes(df1, df2, key_cols, val_cols=None, tol=1e-9):
+    """Outer-join two DataFrames on key_cols and report per-column max abs
+    differences (reference: GPSat/utils.py:2510; the integration-test
+    comparison primitive)."""
+    if val_cols is None:
+        val_cols = [c for c in df1.columns if c not in key_cols
+                    and np.issubdtype(df1[c].dtype, np.number)]
+    merged = df1.merge(df2, on=list(key_cols), how="outer",
+                       suffixes=("_1", "_2"), indicator=True)
+    out = {"rows_df1": len(df1), "rows_df2": len(df2),
+           "unmatched": int((merged["_merge"] != "both").sum())}
+    for c in val_cols:
+        a, b = merged.get(f"{c}_1"), merged.get(f"{c}_2")
+        if a is None or b is None:
+            out[c] = np.nan
+            continue
+        diff = np.abs(a.values.astype(float) - b.values.astype(float))
+        out[c] = float(np.nanmax(diff)) if len(diff) else 0.0
+    out["within_tol"] = all(
+        (np.isnan(v) or v <= tol) for k, v in out.items()
+        if k not in ("rows_df1", "rows_df2", "unmatched", "within_tol"))
+    return out
+
+
+def log_lines(*args, level="INFO"):
+    """Lightweight multi-line logger (reference: GPSat/utils.py:1329)."""
+    for a in args:
+        print(f"[{level}] {a}")
+
+
+def pip_freeze_to_dataframe():
+    """Installed-package table for run provenance
+    (reference: GPSat/utils.py:2589)."""
+    import importlib.metadata as md
+    rows = [{"package": d.metadata["Name"], "version": d.version}
+            for d in md.distributions()]
+    return pd.DataFrame(rows).sort_values("package").reset_index(drop=True)
+
+
+def move_to_archive(file, archive_dir=None, suffix=""):
+    """Move a file into an Archive subdirectory, optionally suffixed
+    (reference: GPSat/utils.py:178)."""
+    import shutil
+    if not os.path.exists(file):
+        return None
+    base_dir = os.path.dirname(file) or "."
+    archive_dir = archive_dir or os.path.join(base_dir, "Archive")
+    os.makedirs(archive_dir, exist_ok=True)
+    name, ext = os.path.splitext(os.path.basename(file))
+    dest = os.path.join(archive_dir, f"{name}{suffix}{ext}")
+    shutil.move(file, dest)
+    return dest

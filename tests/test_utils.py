@@ -272,3 +272,24 @@ def test_expand_dict_by_vals():
     out = expand_dict_by_vals({"a": [1, 2], "b": "x"})
     assert len(out) == 2
     assert all(o["b"] == "x" for o in out)
+
+
+def test_guess_track_num():
+    from gpsat_tpu.utils import guess_track_num
+    t = np.array([0, 1, 2, 100, 101, 300])
+    np.testing.assert_array_equal(guess_track_num(t, thresh=50),
+                                  [0, 0, 0, 1, 1, 2])
+    np.testing.assert_array_equal(guess_track_num(t, thresh=50, start_track=5),
+                                  [5, 5, 5, 6, 6, 7])
+
+
+def test_compare_dataframes():
+    from gpsat_tpu.utils import compare_dataframes
+    df1 = pd.DataFrame({"x": [1, 2], "v": [1.0, 2.0]})
+    df2 = pd.DataFrame({"x": [1, 2], "v": [1.0, 2.0 + 1e-12]})
+    out = compare_dataframes(df1, df2, key_cols=["x"], tol=1e-9)
+    assert out["within_tol"]
+    df3 = pd.DataFrame({"x": [1, 2], "v": [1.0, 3.0]})
+    out = compare_dataframes(df1, df3, key_cols=["x"], tol=1e-9)
+    assert not out["within_tol"]
+    assert np.isclose(out["v"], 1.0)
