@@ -634,6 +634,35 @@ class LocalExpertOI:
     def _buffer(buffer, table, df):
         buffer.setdefault(table, []).append(df)
 
+    def plot_locations_and_obs(self, obs_sample=20000, ax=None,
+                               show=False, save_path=None):
+        """Scatter of observation positions with expert locations overlaid
+        (reference: GPSat/local_experts.py:1282)."""
+        import matplotlib
+        if save_path or not show:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        assert self.expert_locs is not None, "expert_locs not set"
+        df = self.data.load(reset_index=True)
+        if obs_sample and len(df) > obs_sample:
+            df = df.sample(obs_sample, random_state=0)
+        cc = self.data.coords_col
+        if ax is None:
+            fig, ax = plt.subplots(figsize=(8, 8))
+        else:
+            fig = ax.figure
+        ax.scatter(df[cc[0]], df[cc[1]], s=2, c="C0", alpha=0.4,
+                   label="observations")
+        ax.scatter(self.expert_locs[cc[0]], self.expert_locs[cc[1]], s=40,
+                   c="C3", marker="x", label="expert locations")
+        ax.set_xlabel(cc[0]); ax.set_ylabel(cc[1])
+        ax.legend(); ax.set_aspect("equal")
+        if save_path:
+            fig.savefig(save_path, dpi=100)
+        if show:  # pragma: no cover
+            plt.show()
+        return fig
+
     @staticmethod
     def _flush(buffer, store_path, table_suffix, force=True):
         if not buffer:
