@@ -283,3 +283,25 @@ def test_max_dist_bool_chunked():
     mask = max_dist_bool(locs, np.zeros(2), 5.0, chunk=100)
     want = np.hypot(locs[:, 0], locs[:, 1]) < 5.0
     np.testing.assert_array_equal(mask, want)
+
+
+def test_bin_data_chunked_batch_mode(tmp_path, sample_df):
+    """BinData batch=True: chunked loads per unique load_by value
+    (reference: GPSat/bin_data.py:280)."""
+    from gpsat_tpu.bin_data import BinData
+    path = str(tmp_path / "raw.h5")
+    DataLoader.write_to_hdf(sample_df, path, table="data")
+    bd = BinData(input={"source": path, "table": "data"},
+                 bin_config={"by_cols": ["source"], "val_col": "z",
+                             "x_range": [-4, 4], "y_range": [-4, 4],
+                             "grid_res": 2.0},
+                 output={"file": str(tmp_path / "binned.h5"), "table": "data"})
+    binned_batch, _ = bd.bin_data(batch=True, load_by="source")
+    binned_once, _ = bd.bin_data(batch=False)
+    a = binned_batch.sort_values(["source", "y", "x"]).reset_index(drop=True)
+    b = binned_once.sort_values(["source", "y", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["x", "y", "z"]], b[["x", "y", "z"]])
+    bd.write_dataframe_to_table(binned_batch)
+    with ResultsStore(str(tmp_path / "binned.h5"), "r") as s:
+        assert s.nrows("data") == len(binned_batch)
+        assert s.get_attr("data", "config") is not None
