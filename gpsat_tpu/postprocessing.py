@@ -266,3 +266,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# sharded smoothing: experts distributed over the device mesh
+# ---------------------------------------------------------------------------
+
+def gaussian_2d_smooth_sharded(x0, y0, x, y, l_x, l_y, vals, mesh=None,
+                               axis_name="experts"):
+    """Multi-device Gaussian smoother: output experts sharded over the mesh,
+    source points all-gathered over ICI.
+
+    The reference's smoother is a single-host O(E^2) loop
+    (postprocessing.py:22, numba target='parallel'); here each device computes
+    its shard of output rows against the full (all-gathered) source set —
+    the communication is one all_gather of [E] coordinate/value vectors over
+    the interconnect, compute is E/n_dev x E per device.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from gpsat_tpu.parallel.mesh import get_mesh, pad_to_multiple
+
+    if mesh is None:
+        mesh = get_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    if n_dev == 1:
+        return gaussian_2d_smooth(x0, y0, x, y, l_x, l_y, vals)
+
+    E_out = len(x0)
+    E_pad = pad_to_multiple(E_out, n_dev)
+
+    def pad(a, fill=0.0):
+        a = np.asarray(a, dtype=np.float64)
+        return np.concatenate([a, np.full(E_pad - len(a), fill)])
+
+    x0p, y0p = pad(x0), pad(y0)
+    xs = jnp.asarray(np.asarray(x, dtype=np.float64))
+    ys = jnp.asarray(np.asarray(y, dtype=np.float64))
+    vs = jnp.asarray(np.asarray(vals, dtype=np.float64))
+
+    shard = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    x0d = jax.device_put(jnp.asarray(x0p), shard)
+    y0d = jax.device_put(jnp.asarray(y0p), shard)
+    xs, ys, vs = (jax.device_put(a, rep) for a in (xs, ys, vs))
+    lx = jnp.asarray(float(l_x))
+    ly = jnp.asarray(float(l_y))
+
+    @jax.jit
+    def run(x0d, y0d, xs, ys, vs, lx, ly):
+        def shard_fn(x0_blk, y0_blk, xs, ys, vs, lx, ly):
+            # x0_blk: this device's output rows; xs/ys/vs replicated
+            return _gaussian_2d_smooth_jit(x0_blk, y0_blk, xs, ys, lx, ly, vs)
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P()),
+            out_specs=P(axis_name))(x0d, y0d, xs, ys, vs, lx, ly)
+
+    out = np.asarray(run(x0d, y0d, xs, ys, vs, lx, ly))
+    return out[:E_out]

@@ -62,3 +62,24 @@ def test_glue_local_predictions_2d():
     # equidistant experts -> plain mean
     np.testing.assert_allclose(glued["f*"].values, [2.0])
     np.testing.assert_allclose(glued["f*_std"].values, [0.5])
+
+
+def test_sharded_smoother_matches_single_device():
+    """shard_map smoothing over the 8-device CPU mesh equals the one-device
+    program (new capability: the reference has no distributed smoother)."""
+    import jax
+    from gpsat_tpu.postprocessing import (gaussian_2d_smooth,
+                                          gaussian_2d_smooth_sharded)
+    from gpsat_tpu.parallel.mesh import get_mesh
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(5)
+    n = 103  # deliberately not a multiple of the device count
+    x = rng.uniform(-5, 5, n)
+    y = rng.uniform(-5, 5, n)
+    vals = rng.standard_normal(n)
+    vals[::11] = np.nan
+    mesh = get_mesh()
+    got = gaussian_2d_smooth_sharded(x, y, x, y, 2.0, 1.5, vals, mesh=mesh)
+    want = gaussian_2d_smooth(x, y, x, y, 2.0, 1.5, vals)
+    np.testing.assert_allclose(got, want, atol=1e-10, equal_nan=True)
