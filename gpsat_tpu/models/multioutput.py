@@ -16,7 +16,7 @@ from gpsat_tpu.models.base import BaseGPRModel
 from gpsat_tpu.ops import multioutput as mo
 from gpsat_tpu.ops.lbfgs import batched_lbfgs
 from gpsat_tpu.ops.packing import ParamSpec, pack, unpack
-from gpsat_tpu.ops.transforms import Softplus
+from gpsat_tpu.ops.transforms import Softplus  # default param transform
 
 
 class MultioutputGPRModel(BaseGPRModel):

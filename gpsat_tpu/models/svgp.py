@@ -13,9 +13,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gpsat_tpu.models.sgpr import SGPRModel, select_inducing
+from gpsat_tpu.models.sgpr import SGPRModel
 from gpsat_tpu.ops import svgp as svgp_math
-from gpsat_tpu.ops.transforms import Softplus
 
 
 class SVGPModel(SGPRModel):
