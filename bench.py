@@ -99,28 +99,39 @@ def baseline_rate(X, z, Xs, n_sample=4):
 # gpsat_tpu batched path
 # ---------------------------------------------------------------------------
 
-def main():
+def main(model="gpr"):
     import jax
     import jax.numpy as jnp
-    from gpsat_tpu.models.batched import BatchedGPR
+    from gpsat_tpu.models.batched import BatchedGPR, BatchedSGPR
 
     dev = jax.devices()[0]
     on_accel = dev.platform != "cpu"
-    # sizes: modest enough for CI-on-CPU, meaningful on a real chip
-    E = 512 if on_accel else 64
-    N, P, D = 400, 400, 3
     dtype = jnp.float32 if on_accel else jnp.float64
+
+    if model == "sgpr":
+        # the production profile: big-N experts summarised by M inducing
+        # points (reference: IS2_GPSat_train.py SGPR config)
+        E = 128 if on_accel else 16
+        N, P, D, M = 2000, 400, 3, 500
+    else:
+        # sizes: modest enough for CI-on-CPU, meaningful on a real chip
+        E = 512 if on_accel else 64
+        N, P, D, M = 400, 400, 3, None
 
     X, z, Xs = make_workload(E, N, P, D)
     y = z - z.mean(axis=1, keepdims=True)
     mask = np.ones((E, N), dtype=bool)
 
-    engine = BatchedGPR(
+    common = dict(
         coords_dim=D, kernel="Matern32",
         constraints={"lengthscales": {"low": [0.01] * D, "high": [50.0] * D},
                      "likelihood_variance": {"low": 1e-5, "high": 1.0}},
         optim_kwargs={"max_iter": 250, "gtol": 1e-5, "ftol": 1e-9},
         jitter=1e-6, dtype=dtype)
+    if model == "sgpr":
+        engine = BatchedSGPR(num_inducing_points=M, **common)
+    else:
+        engine = BatchedGPR(**common)
 
     Xd = jnp.asarray(X, dtype=dtype)
     yd = jnp.asarray(y, dtype=dtype)
@@ -129,6 +140,9 @@ def main():
 
     from gpsat_tpu.parallel.scheduler import auto_batch_size
     B = min(E, auto_batch_size(N, P))
+    if model == "sgpr":
+        # dominant buffers are [B, M, N]
+        B = min(E, max(1, 2**25 // (M * N)))
 
     def sweep():
         convs, finite = [], True
@@ -155,7 +169,7 @@ def main():
     result = {
         "metric": "experts_optimized_per_s_per_chip",
         "value": round(rate, 3),
-        "unit": f"experts/s (N={N} obs, P={P} preds, D={D}, "
+        "unit": f"experts/s ({model}, N={N} obs, P={P} preds, D={D}, "
                 f"{np.dtype(dtype).name}, device={dev.platform}:{dev.device_kind}, "
                 f"converged={conv_frac:.2f})",
         "vs_baseline": round(rate / ref_rate, 2),
@@ -164,4 +178,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(model=sys.argv[1] if len(sys.argv) > 1 else "gpr"))
