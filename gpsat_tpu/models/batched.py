@@ -35,7 +35,7 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
     if optimise and free_names:
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
-            ftol, 10, 30, "custom")
+            ftol, 10, 12, "custom")
     else:
         u = u0
         fval = jax.vmap(lambda ui, xi, yi, mi, bi, fi:
@@ -319,7 +319,7 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
     if optimise and free_names:
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, Z, zmask, bijectors, fixed),
-            max_iter, gtol, ftol, 10, 30, "custom")
+            max_iter, gtol, ftol, 10, 12, "custom")
     else:
         u = u0
         fval = jax.vmap(objective)(u0, X, y, mask, Z, zmask, bijectors, fixed)
@@ -619,7 +619,7 @@ def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
     if optimise and free_names:
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, a, b, bijectors, fixed),
-            max_iter, gtol, ftol, 10, 30, "custom")
+            max_iter, gtol, ftol, 10, 12, "custom")
     else:
         u = u0
         fval = jax.vmap(objective)(u0, X, y, mask, a, b, bijectors, fixed)

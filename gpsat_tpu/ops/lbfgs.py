@@ -70,10 +70,13 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
         r = jax.lax.fori_loop(0, m, fwd, r)
         return -r
 
-    def linesearch(x, f, g, d, skip):
-        """Batch Armijo backtracking; per-element accept mask. Elements in
-        `skip` (already converged) are treated as accepted so they never
-        drag the loop to max_linesearch_steps."""
+    def linesearch(x, f, g, d, skip, t_init):
+        """Batch Armijo backtracking with per-element warm-started trial
+        steps. Every halving step costs one full-batch objective evaluation
+        and the loop runs until the slowest element accepts, so elements that
+        chronically backtrack start from (2x) their previously accepted step
+        instead of 1.0. Elements in `skip` (already converged) count as
+        accepted immediately."""
         gd = jnp.sum(g * d, axis=-1)                       # [B]
 
         def cond(c):
@@ -89,23 +92,23 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
             t = jnp.where(ok | accept, t, t * 0.5)
             return t, f_new, it + 1, ok | accept
 
-        t0 = jnp.ones(B, dtype)
         t, f_new, it, ok = jax.lax.while_loop(
-            cond, body, (t0, f, 0, skip))
+            cond, body, (t_init, f, 0, skip))
         return t, f_new, ok
 
     def cond(carry):
-        it, x, f, g, S, Y, rho, gamma, done, it_done = carry
+        it, x, f, g, S, Y, rho, gamma, done, it_done, fail_cnt = carry
         return (it < max_iter) & jnp.any(~done)
 
     def body(carry):
-        it, x, f, g, S, Y, rho, gamma, done, it_done = carry
+        it, x, f, g, S, Y, rho, gamma, done, it_done, fail_cnt = carry
         d = two_loop(g, S, Y, rho, gamma, it)
         gd = jnp.sum(g * d, axis=-1)
         bad_dir = ~jnp.isfinite(gd) | (gd >= 0)
         d = jnp.where(bad_dir[:, None], -g, d)
 
-        t, f_ls, ls_ok = linesearch(x, f, g, d, done)
+        t_init = jnp.ones(B, dtype)  # full first trial: the L-BFGS unit step
+        t, f_ls, ls_ok = linesearch(x, f, g, d, done, t_init)
         ls_ok = ls_ok & (~done)   # done elements were skipped, not accepted
         x_new = x + t[:, None] * d
         f_new, g_new = batched_value_and_grad(x_new)
@@ -129,10 +132,20 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
         gamma = jnp.where(keep & (yy > 0), sy / jnp.maximum(yy, 1e-300), gamma)
 
         grad_small = jnp.max(jnp.abs(g_new), axis=-1) < gtol
-        f_change = jnp.abs(f - f_new) <= ftol * jnp.maximum(
-            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
+        # only treat f-stagnation as convergence on a full accepted step
+        full_step = t >= t_init - 1e-12
+        f_change = full_step & (jnp.abs(f - f_new) <= ftol * jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0))
         fail = (~ls_ok) | ~jnp.isfinite(f_new)
-        newly_done = (~done) & (grad_small | f_change | fail)
+        # first linesearch failure: reset that element's curvature history so
+        # the next direction is steepest descent (the scipy recovery);
+        # a second consecutive failure ends the element
+        fail_cnt = jnp.where(fail & (~done), fail_cnt + 1, 0)
+        reset = fail & (fail_cnt == 1) & (~done)
+        rho = jnp.where(reset[None, :], 0.0, rho)
+        gamma = jnp.where(reset, 1.0, gamma)
+        hard_fail = fail & (fail_cnt >= 2)
+        newly_done = (~done) & (grad_small | f_change | hard_fail)
 
         # freeze finished/failed experts
         adv = (~done) & (~fail)
@@ -141,15 +154,16 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
         g = jnp.where(adv[:, None], g_new, g)
         it_done = jnp.where(newly_done, it + 1, it_done)
         done = done | newly_done
-        return it + 1, x, f, g, S, Y, rho, gamma, done, it_done
+        return it + 1, x, f, g, S, Y, rho, gamma, done, it_done, fail_cnt
 
     S0 = jnp.zeros((m, B, P), dtype)
     Y0 = jnp.zeros((m, B, P), dtype)
     rho0 = jnp.zeros((m, B), dtype)
     gamma0 = jnp.ones(B, dtype)
     done0 = ~jnp.isfinite(f0) | (jnp.max(jnp.abs(g0), axis=-1) < gtol)
-    carry0 = (0, x0, f0, g0, S0, Y0, rho0, gamma0, done0, jnp.zeros(B, jnp.int32))
-    it, x, f, g, S, Y, rho, gamma, done, it_done = jax.lax.while_loop(
+    carry0 = (0, x0, f0, g0, S0, Y0, rho0, gamma0, done0,
+              jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+    it, x, f, g, S, Y, rho, gamma, done, it_done, fail_cnt = jax.lax.while_loop(
         cond, body, carry0)
     it_done = jnp.where(done, it_done, it)
     return x, f, done, it_done
@@ -182,7 +196,7 @@ def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
 
 
 def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
-                  memory_size=10, max_linesearch_steps=30, engine="custom"):
+                  memory_size=10, max_linesearch_steps=12, engine="custom"):
     """Minimise `fun(x, *args_i) -> scalar` for a batch of problems.
 
     Parameters
