@@ -6,8 +6,12 @@ lengthscales).
 
 The golden store is generated deterministically on first run (CPU float64,
 fixed seeds) and committed at tests/data/golden_inline.h5; CI then replays
-the stored oi_config against it. Regenerate with:
-    python -m tests.test_golden_regression   (after deleting the file)
+the stored oi_config against it.
+
+Regenerate by DELETING the file and running this test module under pytest —
+generation must happen in the same 8-device mesh environment the replay uses
+(sharded vs unsharded reductions differ in the last ulp, which optimisation
+amplifies to ~1e-4).
 """
 
 import json
