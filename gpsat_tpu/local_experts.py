@@ -239,6 +239,10 @@ class LocalExpertOI:
         """
         if param_names is None:
             param_names = engine.loadable_param_names
+        # only hyperparameters gate the "has all params" check; variational
+        # extras (inducing_mean, ...) are best-effort warm starts
+        required = set(getattr(engine, "required_loadable_names",
+                               engine.HYPER_NAMES))
         E = len(xprt_locs)
         overrides, have = {}, np.ones(E, dtype=bool)
         key_df = xprt_locs[coords_col].reset_index(drop=True)
@@ -247,8 +251,9 @@ class LocalExpertOI:
             for pn in param_names:
                 tname = f"{pn}{table_suffix}"
                 if not store.has_table(tname):
-                    warnings.warn(f"param table {tname} not found in {file}")
-                    have[:] = False
+                    if pn in required:
+                        warnings.warn(f"param table {tname} not found in {file}")
+                        have[:] = False
                     continue
                 df = store.select(tname).reset_index()
                 dim_cols = sorted([c for c in df.columns if c.startswith("_dim_")])
@@ -264,7 +269,8 @@ class LocalExpertOI:
                 vals = merged.drop(columns=coords_col).values
                 arr[:, :min(size, vals.shape[1])] = vals[:, :size]
                 overrides[pn] = arr.reshape((E,) + (shape if shape else ()))
-                have &= ~np.isnan(arr).any(axis=1)
+                if pn in required:
+                    have &= ~np.isnan(arr).any(axis=1)
         return overrides, have
 
     # ------------------------------------------------------------------

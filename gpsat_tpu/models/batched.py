@@ -222,6 +222,14 @@ class BatchedGPR:
             optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol)
 
+    def _snapshot_state(self):
+        """Engine side-state captured before a collapse-restart re-run
+        (subclasses carrying per-expert state override)."""
+        return None
+
+    def _merge_state(self, state1, use2):
+        """Keep run-1 side-state for experts where run 2 was not adopted."""
+
     def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
                     param_overrides=None):
         """Fit + predict one padded bucket.
@@ -260,12 +268,14 @@ class BatchedGPR:
                 (kv_eff < np.maximum(1e-4 * y_var, 1e-12)) |
                 ~np.isfinite(np.asarray(fval)))
             if collapsed.any():
+                state1 = self._snapshot_state()
                 alt = self._initial_params_batch(B, param_overrides,
                                                  y_var=y_var, scale=3.0)
                 p2, f2, c2, i2, pr2 = self._execute(
                     alt, Xj, yj, mask_np, Xs_in, optimise, do_predict)
                 better = np.asarray(f2) < np.asarray(fval)
                 use2 = collapsed & better & np.isfinite(np.asarray(f2))
+                self._merge_state(state1, use2)
                 if use2.any():
                     sel = jnp.asarray(use2)
                     params = jax.tree.map(
@@ -296,27 +306,37 @@ class BatchedGPR:
 
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
                                    "do_predict", "max_iter", "gtol", "ftol",
-                                   "jitter"))
+                                   "jitter", "train_z"))
 def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
                       kernel, free_names, d, optimise, do_predict, max_iter,
-                      gtol, ftol, jitter):
-    """Batched SGPR: L-BFGS on the collapsed negative ELBO + posterior."""
+                      gtol, ftol, jitter, train_z=False):
+    """Batched SGPR: L-BFGS on the collapsed negative ELBO + posterior.
+
+    train_z packs the inducing locations [M, d] into the L-BFGS vector
+    (identity transform; padded rows have zero gradient and never move) —
+    the reference's train_inducing_points=True
+    (GPSat/models/gpflow_models.py:864-877)."""
     from gpsat_tpu.ops import sgpr as sgpr_math
     from gpsat_tpu.ops.packing import ParamSpec
 
+    M = Z.shape[1]
     shapes = {"lengthscales": (d,), "kernel_variance": (),
-              "likelihood_variance": ()}
-    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+              "likelihood_variance": (), "inducing_points": (M, d)}
+    opt_names = tuple(free_names) + (("inducing_points",) if train_z else ())
+    spec = ParamSpec([(n, shapes[n]) for n in opt_names])
+
+    def z_of(free, Z):
+        return free["inducing_points"] if train_z else Z
 
     def objective(u, X, y, mask, Z, zmask, bijectors, fixed):
         free = unpack(u, spec)
         params = dict(fixed)
         for n in free_names:
             params[n] = bijectors[n].forward(free[n])
-        return sgpr_math.neg_elbo(params, X, y, mask, Z, zmask, kernel=kernel,
-                                  jitter=jitter)
+        return sgpr_math.neg_elbo(params, X, y, mask, z_of(free, Z), zmask,
+                                  kernel=kernel, jitter=jitter)
 
-    if optimise and free_names:
+    if optimise and opt_names:
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, Z, zmask, bijectors, fixed),
             max_iter, gtol, ftol, 10, 12, "custom")
@@ -334,6 +354,9 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
         return params
 
     params = jax.vmap(constrained)(u, bijectors, fixed)
+    if train_z:
+        Z = jax.vmap(lambda ui: unpack(ui, spec)["inducing_points"])(u)
+        Z = jnp.where(zmask[:, :, None], Z, 0.0)
 
     if do_predict:
         preds = jax.vmap(
@@ -342,7 +365,7 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
             params, X, y, mask, Z, zmask, Xs)
     else:
         preds = {}
-    return params, fval, conv, iters, preds
+    return params, fval, conv, iters, preds, Z
 
 
 class BatchedSGPR(BatchedGPR):
@@ -363,9 +386,15 @@ class BatchedSGPR(BatchedGPR):
     def __init__(self, coords_dim, num_inducing_points=500, inducing_seed=42,
                  jitter=None, **kwargs):
         from gpsat_tpu.ops import sgpr as sgpr_math
+        optim_kwargs = dict(kwargs.pop("optim_kwargs", None) or {})
+        if not hasattr(self, "train_inducing_points"):
+            self.train_inducing_points = bool(optim_kwargs.pop(
+                "train_inducing_points", False))
+        else:
+            optim_kwargs.pop("train_inducing_points", None)
         super().__init__(coords_dim,
                          jitter=sgpr_math.DEFAULT_JITTER if jitter is None else jitter,
-                         **kwargs)
+                         optim_kwargs=optim_kwargs, **kwargs)
         self.num_inducing = int(num_inducing_points)
         self.inducing_seed = int(inducing_seed)
         self.jitter = float(sgpr_math.DEFAULT_JITTER if jitter is None else jitter)
@@ -400,25 +429,46 @@ class BatchedSGPR(BatchedGPR):
     def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
                     param_overrides=None):
         self._Z, self._zmask = self._build_inducing(X, mask)
+        if param_overrides and param_overrides.get("inducing_points") is not None:
+            ov = np.asarray(param_overrides["inducing_points"])
+            ov = ov.reshape(len(self._Z), -1, self.d)
+            ok = ~np.isnan(ov).any(axis=(1, 2))
+            k = min(self._Z.shape[1], ov.shape[1])
+            self._Z[ok, :k] = ov[ok, :k]
         out = super().fit_predict(X, y, mask, Xs=Xs, optimise=optimise,
                                   predict=predict,
                                   param_overrides=param_overrides)
         # report the ELBO (positive) and expose the inducing points
         out["objective"] = -out["objective"]
-        out["params"]["inducing_points"] = self._Z * (
+        Z_out = getattr(self, "_Z_final", self._Z)
+        out["params"]["inducing_points"] = Z_out * (
             self._zmask[:, :, None])  # zero padded rows for storage
         out["inducing_mask"] = self._zmask
         return out
 
+    def _snapshot_state(self):
+        return {"Z": getattr(self, "_Z_final", None)}
+
+    def _merge_state(self, state1, use2):
+        if state1 and state1.get("Z") is not None:
+            keep1 = ~use2
+            self._Z_final[keep1] = state1["Z"][keep1]
+
     def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
                       do_predict):
-        return _sgpr_fit_predict(
+        train_z = bool(self.train_inducing_points) and bool(optimise)
+        if train_z:
+            Zf = jnp.asarray(self._Z, dtype=self.dtype).reshape(u0.shape[0], -1)
+            u0 = jnp.concatenate([u0, Zf], axis=1)
+        params, fval, conv, iters, preds, Z = _sgpr_fit_predict(
             u0, X, y, jnp.asarray(mask), jnp.asarray(self._Z, dtype=self.dtype),
             jnp.asarray(self._zmask), Xs_in, bij_b, fixed,
             kernel=self.kernel, free_names=self.free_names, d=self.d,
             optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
-            jitter=self.jitter)
+            jitter=self.jitter, train_z=train_z)
+        self._Z_final = np.array(Z)
+        return params, fval, conv, iters, preds
 
 
 # ---------------------------------------------------------------------------
@@ -428,22 +478,36 @@ class BatchedSGPR(BatchedGPR):
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
                                    "do_predict", "max_iter", "lr",
                                    "check_every", "persistence", "jitter",
-                                   "early_stop"))
-def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, bijectors,
+                                   "early_stop", "natural_gradients", "gamma",
+                                   "train_z", "train_qm", "train_qs", "mb"))
+def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, perm, bijectors,
                       fixed, *, kernel, free_names, d, optimise, do_predict,
                       max_iter, lr, check_every, persistence, jitter,
-                      early_stop):
-    """Batched SVGP: Adam on (hypers, q_mu, q_sqrt) with per-expert early
+                      early_stop, natural_gradients, gamma, train_z, train_qm,
+                      train_qs, mb):
+    """Batched SVGP: Adam on (hypers[, Z], q_mu, q_sqrt) with per-expert early
     stopping, then posterior prediction. Loop at batch level (see lbfgs.py
-    design note)."""
+    design note).
+
+    Reference semantics (GPSat/models/gpflow_models.py:1117-1245):
+    - natural_gradients: a NaturalGradient step (step length `gamma`) on
+      (q_mu, q_sqrt) precedes each Adam step, and the variational pair is
+      removed from the Adam variables.
+    - train_z: inducing locations join the Adam variables
+      (train_inducing_points=True).
+    - mb > 0: per-iteration minibatch of mb points per expert (a wrapped
+      window over `perm`, a per-expert shuffled index cycle), data term
+      scaled by N_valid / mb.
+    """
     import optax
     from gpsat_tpu.ops import svgp as svgp_math
     from gpsat_tpu.ops.packing import ParamSpec
 
-    B = X.shape[0]
+    B, N = X.shape[:2]
     shapes = {"lengthscales": (d,), "kernel_variance": (),
               "likelihood_variance": ()}
     spec = ParamSpec([(n, shapes[n]) for n in free_names])
+    n_valid = jnp.sum(mask.astype(X.dtype), axis=1)        # [B]
 
     def constrained(ui, bi, fi):
         free = unpack(ui, spec)
@@ -452,31 +516,72 @@ def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, bijectors,
             params[n] = bi[n].forward(free[n])
         return params
 
-    def per_elbo(theta):
-        def one(ui, qmi, qsi, xi, yi, mi, zi, zmi, bi, fi):
+    def batch_at(it):
+        """Minibatch view for iteration `it` (full data when mb == 0)."""
+        if mb == 0:
+            return X, y, mask, 1.0
+        start = (it * mb) % N
+        idx = jax.lax.dynamic_slice_in_dim(perm, start, mb, axis=1)  # [B, mb]
+        Xb = jnp.take_along_axis(X, idx[:, :, None], axis=1)
+        yb = jnp.take_along_axis(y, idx, axis=1)
+        mbk = jnp.take_along_axis(mask, idx, axis=1)
+        mb_valid = jnp.maximum(jnp.sum(mbk.astype(X.dtype), axis=1), 1.0)
+        scale = n_valid / mb_valid                         # [B]
+        return Xb, yb, mbk, scale
+
+    def per_elbo(theta, Xb, yb, mbk, scale):
+        z_eff = theta["z"] if train_z else jax.lax.stop_gradient(theta["z"])
+        qm_eff = theta["qm"] if train_qm else jax.lax.stop_gradient(theta["qm"])
+        qs_eff = theta["qs"] if train_qs else jax.lax.stop_gradient(theta["qs"])
+        sc = jnp.broadcast_to(jnp.asarray(scale, dtype=X.dtype), (B,))
+
+        def one(ui, qmi, qsi, xi, yi, mi, zi, zmi, bi, fi, sci):
             p = constrained(ui, bi, fi)
             return svgp_math.elbo(p, qmi, qsi, xi, yi, mi, zi, zmi,
-                                  kernel=kernel, jitter=jitter)
-        return jax.vmap(one)(theta["u"], theta["qm"], theta["qs"], X, y, mask,
-                             Z, zmask, bijectors, fixed)
+                                  kernel=kernel, jitter=jitter, scale=sci)
+        return jax.vmap(one)(theta["u"], qm_eff, qs_eff, Xb, yb, mbk,
+                             z_eff, zmask, bijectors, fixed, sc)
 
-    theta0 = {"u": u0, "qm": qm0, "qs": qs0}
+    theta0 = {"u": u0, "qm": qm0, "qs": qs0, "z": Z}
 
     if optimise:
         opt = optax.adam(lr)
         state0 = opt.init(theta0)
 
-        def neg_sum(theta):
-            return -jnp.sum(per_elbo(theta))
-
-        def cond(c):
-            it, theta, state, done, best, cnt, last = c
-            return (it < max_iter) & jnp.any(~done)
-
         def body(c):
             it, theta, state, done, best, cnt, last = c
-            vals = per_elbo(theta)
-            g = jax.grad(neg_sum)(theta)
+            Xb, yb, mbk, scale = batch_at(it)
+
+            if natural_gradients:
+                # natgrad on (q_mu, q_sqrt) precedes the Adam step
+                # (reference: gpflow_models.py:1204-1214 optimisation_step)
+                params_now = jax.vmap(constrained)(theta["u"], bijectors,
+                                                   fixed)
+                sc = jnp.broadcast_to(jnp.asarray(scale, dtype=X.dtype), (B,))
+                qm_n, qs_n = jax.vmap(
+                    lambda p, qmi, qsi, xi, yi, mi, zi, zmi, sci:
+                    svgp_math.natgrad_step(p, qmi, qsi, xi, yi, mi, zi, zmi,
+                                           gamma, kernel=kernel, jitter=jitter,
+                                           scale=sci))(
+                    params_now, theta["qm"], theta["qs"], Xb, yb, mbk,
+                    theta["z"], zmask, sc)
+                keep = done | ~(jnp.isfinite(qm_n).all(axis=-1) &
+                                jnp.isfinite(qs_n).all(axis=(-2, -1)))
+                if train_qm:
+                    theta["qm"] = jnp.where(keep[:, None], theta["qm"], qm_n)
+                if train_qs:
+                    theta["qs"] = jnp.where(keep[:, None, None], theta["qs"],
+                                            qs_n)
+
+            vals = per_elbo(theta, Xb, yb, mbk, scale)
+            g = jax.grad(lambda t: -jnp.sum(per_elbo(t, Xb, yb, mbk,
+                                                     scale)))(theta)
+            if natural_gradients:
+                # variational pair is natgrad-managed, not Adam-managed
+                g["qm"] = jnp.zeros_like(g["qm"])
+                g["qs"] = jnp.zeros_like(g["qs"])
+            # padded inducing rows never move
+            g["z"] = g["z"] * zmask[:, :, None]
             # freeze finished experts: zero their gradients
             g = jax.tree.map(
                 lambda a: jnp.where(done.reshape((B,) + (1,) * (a.ndim - 1)),
@@ -496,6 +601,10 @@ def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, bijectors,
             done = done | newly
             return it + 1, theta, state, done, best, cnt, vals
 
+        def cond(c):
+            it, theta, state, done, best, cnt, last = c
+            return (it < max_iter) & jnp.any(~done)
+
         best0 = jnp.full(B, -jnp.inf, dtype=X.dtype)
         cnt0 = jnp.zeros(B, dtype=jnp.int32)
         done0 = jnp.zeros(B, dtype=bool)
@@ -504,12 +613,34 @@ def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, bijectors,
                          jnp.zeros(B, dtype=X.dtype)))
         conv = done & jnp.isfinite(last)
         iters = jnp.full(B, it, dtype=jnp.int32)
+
+        if natural_gradients and (train_qm or train_qs):
+            # full-batch polish: one gamma=1 conjugate step lands q(u) on its
+            # optimum at the final hyperparameters (a strict ELBO improvement;
+            # removes minibatch noise from the stored variational state)
+            params_now = jax.vmap(constrained)(theta["u"], bijectors, fixed)
+            qm_n, qs_n = jax.vmap(
+                lambda p, qmi, qsi, xi, yi, mi, zi, zmi:
+                svgp_math.natgrad_step(p, qmi, qsi, xi, yi, mi, zi, zmi,
+                                       1.0, kernel=kernel, jitter=jitter))(
+                params_now, theta["qm"], theta["qs"], X, y, mask,
+                theta["z"], zmask)
+            bad = ~(jnp.isfinite(qm_n).all(axis=-1) &
+                    jnp.isfinite(qs_n).all(axis=(-2, -1)))
+            if train_qm:
+                theta = {**theta, "qm": jnp.where(bad[:, None], theta["qm"],
+                                                  qm_n)}
+            if train_qs:
+                theta = {**theta, "qs": jnp.where(bad[:, None, None],
+                                                  theta["qs"], qs_n)}
     else:
         theta = theta0
         conv = jnp.zeros(B, dtype=bool)
         iters = jnp.zeros(B, dtype=jnp.int32)
 
-    vals = per_elbo(theta)
+    # final objective on the full data (the stored objective_value is the
+    # full ELBO even when optimisation was minibatched)
+    vals = per_elbo(theta, X, y, mask, 1.0)
     params = jax.vmap(constrained)(theta["u"], bijectors, fixed)
 
     if do_predict:
@@ -517,18 +648,20 @@ def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, bijectors,
         preds = jax.vmap(
             lambda p, qmi, qsi, zi, zmi, xsi: svgp_math2.predict(
                 p, qmi, qsi, zi, zmi, xsi, kernel=kernel, jitter=jitter))(
-            params, theta["qm"], theta["qs"], Z, zmask, Xs)
+            params, theta["qm"], theta["qs"], theta["z"], zmask, Xs)
     else:
         preds = {}
     # report the *negative* ELBO so the base-class restart logic (lower =
     # better) keeps working; BatchedSVGP flips the sign on output
-    return params, -vals, conv, iters, preds, theta["qm"], theta["qs"]
+    return (params, -vals, conv, iters, preds, theta["qm"], theta["qs"],
+            theta["z"])
 
 
 class BatchedSVGP(BatchedSGPR):
     """Batched SVGP engine (reference: GPflowSVGPModel,
     GPSat/models/gpflow_models.py:904). Full-batch Adam by default (the
-    reference's default when minibatch_size is None)."""
+    reference's default when minibatch_size is None); supports the reference's
+    natural_gradients, train_inducing_points and minibatch options."""
 
     model_name = "SVGPModel"
 
@@ -539,55 +672,124 @@ class BatchedSVGP(BatchedSGPR):
         self.check_every = int(optim_kwargs.pop("check_every", 10))
         self.persistence = int(optim_kwargs.pop("persistence", 100))
         self.early_stop = bool(optim_kwargs.pop("early_stop", True))
+        self.natural_gradients = bool(optim_kwargs.pop("natural_gradients",
+                                                       False))
+        self.gamma = float(optim_kwargs.pop("gamma", 0.1))
+        self.train_inducing_points = bool(optim_kwargs.pop(
+            "train_inducing_points", False))
+        mb = optim_kwargs.pop("minibatch_size", minibatch_size)
+        self.minibatch_size = None if mb is None else int(mb)
+        self.minibatch_seed = int(optim_kwargs.pop("minibatch_seed", 0))
         optim_kwargs.setdefault("max_iter", 2000)
+        fixed = set(optim_kwargs.get("fixed_params") or [])
+        self.train_qm = "inducing_mean" not in fixed
+        self.train_qs = "inducing_chol" not in fixed
+        if "inducing_points" in fixed:
+            self.train_inducing_points = False
         super().__init__(coords_dim, num_inducing_points=num_inducing_points,
                          optim_kwargs=optim_kwargs, **kwargs)
-        if minibatch_size is not None:
-            import warnings
-            warnings.warn("minibatch_size ignored: the batched SVGP engine "
-                          "uses full-batch Adam (per-expert N is already "
-                          "bounded by the training radius)")
 
     @property
     def param_names(self):
         return list(self.HYPER_NAMES) + ["inducing_points", "inducing_mean",
                                          "inducing_chol"]
 
+    @property
+    def loadable_param_names(self):
+        """Hyperparameters + inducing mean are re-loadable per expert.
+        (inducing_chol and inducing_points have O(M^2)/O(M d) columns per
+        expert; they re-initialise from identity / seeded selection.)"""
+        return list(self.HYPER_NAMES) + ["inducing_mean"]
+
+    def param_shape(self, name):
+        if name == "inducing_mean":
+            return (self.num_inducing,)
+        return super().param_shape(name)
+
+    def _build_perm(self, mask, mb):
+        """Per-expert shuffled index cycle for minibatch windows: valid
+        indices shuffled then tiled to N (+wrap pad of mb)."""
+        mask = np.asarray(mask)
+        B, N = mask.shape
+        rng = np.random.default_rng(self.minibatch_seed)
+        perm = np.zeros((B, N + mb), dtype=np.int32)
+        for b in range(B):
+            valid = np.where(mask[b])[0]
+            if len(valid) == 0:
+                continue
+            cyc = np.resize(rng.permutation(valid), N + mb)
+            perm[b] = cyc
+        return perm
+
     def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
                     param_overrides=None):
+        B, N = np.asarray(mask).shape
         self._Z, self._zmask = self._build_inducing(X, mask)
-        B, M = self._zmask.shape
+        M = self._zmask.shape[1]
         self._qm0 = np.zeros((B, M))
         self._qs0 = np.broadcast_to(np.eye(M), (B, M, M)).copy()
         if param_overrides:
+            if param_overrides.get("inducing_points") is not None:
+                ov = np.asarray(param_overrides["inducing_points"])
+                ov = ov.reshape(B, -1, self.d)
+                ok = ~np.isnan(ov).any(axis=(1, 2))
+                k = min(M, ov.shape[1])
+                self._Z[ok, :k] = ov[ok, :k]
             if param_overrides.get("inducing_mean") is not None:
                 ov = np.asarray(param_overrides["inducing_mean"])
                 ok = ~np.isnan(ov).any(axis=tuple(range(1, ov.ndim)))
                 self._qm0[ok] = ov.reshape(B, -1)[ok, :M]
+            if param_overrides.get("inducing_chol") is not None:
+                ov = np.asarray(param_overrides["inducing_chol"])
+                ov = ov.reshape(B, -1)
+                ok = ~np.isnan(ov).any(axis=1)
+                self._qs0[ok] = ov[ok].reshape(-1, M, M)
+        self._mb = 0
+        self._perm = np.zeros((B, 1), dtype=np.int32)
+        if self.minibatch_size is not None and self.minibatch_size < N:
+            self._mb = int(self.minibatch_size)
+            self._perm = self._build_perm(mask, self._mb)
         out = BatchedGPR.fit_predict(self, X, y, mask, Xs=Xs,
                                      optimise=optimise, predict=predict,
                                      param_overrides=param_overrides)
         out["objective"] = -out["objective"]   # report the ELBO
-        out["params"]["inducing_points"] = self._Z * self._zmask[:, :, None]
+        out["params"]["inducing_points"] = self._Z_final * self._zmask[:, :, None]
         out["params"]["inducing_mean"] = self._qm_final
         out["params"]["inducing_chol"] = self._qs_final
         out["inducing_mask"] = self._zmask
         return out
 
+    def _snapshot_state(self):
+        return {"Z": getattr(self, "_Z_final", None),
+                "qm": getattr(self, "_qm_final", None),
+                "qs": getattr(self, "_qs_final", None)}
+
+    def _merge_state(self, state1, use2):
+        keep1 = ~use2
+        if state1 and state1.get("Z") is not None:
+            self._Z_final[keep1] = state1["Z"][keep1]
+        if state1 and state1.get("qm") is not None:
+            self._qm_final[keep1] = state1["qm"][keep1]
+            self._qs_final[keep1] = state1["qs"][keep1]
+
     def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
                       do_predict):
-        params, fval, conv, iters, preds, qm, qs = _svgp_fit_predict(
+        (params, fval, conv, iters, preds, qm, qs, z) = _svgp_fit_predict(
             u0, jnp.asarray(self._qm0, dtype=self.dtype),
             jnp.asarray(self._qs0, dtype=self.dtype),
             X, y, jnp.asarray(mask), jnp.asarray(self._Z, dtype=self.dtype),
-            jnp.asarray(self._zmask), Xs_in, bij_b, fixed,
-            kernel=self.kernel, free_names=self.free_names, d=self.d,
+            jnp.asarray(self._zmask), Xs_in, jnp.asarray(self._perm), bij_b,
+            fixed, kernel=self.kernel, free_names=self.free_names, d=self.d,
             optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, lr=self.learning_rate,
             check_every=self.check_every, persistence=self.persistence,
-            jitter=self.jitter, early_stop=self.early_stop)
-        self._qm_final = np.asarray(qm)
-        self._qs_final = np.asarray(qs)
+            jitter=self.jitter, early_stop=self.early_stop,
+            natural_gradients=self.natural_gradients, gamma=self.gamma,
+            train_z=self.train_inducing_points, train_qm=self.train_qm,
+            train_qs=self.train_qs, mb=self._mb)
+        self._qm_final = np.array(qm)
+        self._qs_final = np.array(qs)
+        self._Z_final = np.array(z)
         return params, fval, conv, iters, preds
 
 

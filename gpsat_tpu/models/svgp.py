@@ -82,10 +82,6 @@ class SVGPModel(SGPRModel):
         reference's plateau early stop (gpflow_models.py:1117-1245)."""
         if fixed_params is None:
             fixed_params = []
-        if natural_gradients:
-            import warnings
-            warnings.warn("natural_gradients not yet implemented in the TPU "
-                          "build; optimising all parameters with Adam")
         hyper_names = tuple(n for n in ("lengthscales", "kernel_variance",
                                         "likelihood_variance")
                             if n not in fixed_params)
@@ -114,17 +110,29 @@ class SVGPModel(SGPRModel):
 
         def loss(theta):
             p = unpack_theta(theta)
-            qm = theta["qm"] if train_qm else jax.lax.stop_gradient(theta["qm"])
-            qs = theta["qs"] if train_qs else jax.lax.stop_gradient(theta["qs"])
+            qm = theta["qm"] if (train_qm and not natural_gradients) \
+                else jax.lax.stop_gradient(theta["qm"])
+            qs = theta["qs"] if (train_qs and not natural_gradients) \
+                else jax.lax.stop_gradient(theta["qs"])
             return svgp_math.neg_elbo(p, qm, qs, X, y, m, Z, zm, kernel=kernel,
                                       jitter=jitter)
 
         opt = optax.adam(learning_rate)
         state = opt.init(theta0)
-        vg = jax.jit(jax.value_and_grad(loss))
 
         @jax.jit
         def step(theta, state):
+            if natural_gradients:
+                # natgrad on (q_mu, q_sqrt) precedes the Adam step
+                # (reference: gpflow_models.py:1204-1214)
+                qm_n, qs_n = svgp_math.natgrad_step(
+                    unpack_theta(theta), theta["qm"], theta["qs"], X, y, m,
+                    Z, zm, gamma, kernel=kernel, jitter=jitter)
+                ok = jnp.isfinite(qm_n).all() & jnp.isfinite(qs_n).all()
+                if train_qm:
+                    theta = {**theta, "qm": jnp.where(ok, qm_n, theta["qm"])}
+                if train_qs:
+                    theta = {**theta, "qs": jnp.where(ok, qs_n, theta["qs"])}
             v, g = jax.value_and_grad(loss)(theta)
             updates, state = opt.update(g, state)
             return optax.apply_updates(theta, updates), state, v

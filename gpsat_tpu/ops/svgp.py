@@ -15,7 +15,7 @@ import jax.scipy.linalg as jsl
 from gpsat_tpu.ops.kernels import kernel_fn
 
 __all__ = ["elbo", "neg_elbo", "predict", "marginals", "DEFAULT_JITTER",
-           "make_q_sqrt", "q_sqrt_raw_init"]
+           "make_q_sqrt", "q_sqrt_raw_init", "natgrad_step"]
 
 DEFAULT_JITTER = 1e-6
 
@@ -90,6 +90,60 @@ def elbo(params, q_mu, q_sqrt_raw, X, y, mask, Z, zmask, kernel="Matern32",
 
 def neg_elbo(params, q_mu, q_sqrt_raw, X, y, mask, Z, zmask, **kwargs):
     return -elbo(params, q_mu, q_sqrt_raw, X, y, mask, Z, zmask, **kwargs)
+
+
+def natgrad_step(params, q_mu, q_sqrt_raw, X, y, mask, Z, zmask, gamma,
+                 kernel="Matern32", jitter=DEFAULT_JITTER, kernel_kwargs=None,
+                 scale=1.0):
+    """One natural-gradient step on (q_mu, q_sqrt) at fixed hyperparameters.
+
+    Reference behaviour: gpflow.optimizers.NaturalGradient on the variational
+    pair, invoked before each Adam step when natural_gradients=True
+    (GPSat/models/gpflow_models.py:1190-1214). For a Gaussian likelihood the
+    generic natural gradient in expectation parameters reduces to a closed
+    conjugate update in whitened precision space,
+
+        Lambda_new = (1-gamma) Lambda + gamma (I + A W A^T / sn2)
+        eta_new    = (1-gamma) eta    + gamma (A W y / sn2)
+
+    with A = Lu^{-1} Kuf, W the data mask (times the minibatch `scale`),
+    Lambda = S^{-1}, eta = S^{-1} q_mu. gamma=1 jumps straight to the optimal
+    q(u) given the current hyperparameters (the collapsed Titsias bound).
+    Padded inducing rows stay exactly at the N(0, 1) prior.
+    """
+    k = kernel_fn(kernel)
+    kk = kernel_kwargs or {}
+    M = q_mu.shape[0]
+    zm = zmask.astype(Z.dtype)
+    m = mask.astype(X.dtype)
+
+    Kuu = k(Z, Z, params["lengthscales"], params["kernel_variance"], **kk)
+    Kuu = Kuu * (zm[:, None] * zm[None, :]) + jnp.diag(
+        jnp.where(zmask, jitter, 1.0))
+    Lu = jnp.linalg.cholesky(Kuu)
+    Kuf = k(Z, X, params["lengthscales"], params["kernel_variance"], **kk)
+    Kuf = Kuf * (zm[:, None] * m[None, :])
+    A = jsl.solve_triangular(Lu, Kuf, lower=True)          # [M, N]
+
+    sn2 = params["likelihood_variance"]
+    Aw = A * m[None, :]
+    C = scale * (Aw @ A.T) / sn2                           # [M, M]
+    b = scale * (A @ (m * y)) / sn2                        # [M]
+
+    L = make_q_sqrt(q_sqrt_raw, zmask)
+    eye = jnp.eye(M, dtype=Z.dtype)
+    lam_old = jsl.cho_solve((L, True), eye)                # S^{-1}
+    eta_old = jsl.cho_solve((L, True), q_mu * zm)          # S^{-1} q_mu
+
+    lam_new = (1.0 - gamma) * lam_old + gamma * (eye + C)
+    lam_new = 0.5 * (lam_new + lam_new.T)
+    Lp = jnp.linalg.cholesky(lam_new)
+    eta_new = (1.0 - gamma) * eta_old + gamma * b
+    m_new = jsl.cho_solve((Lp, True), eta_new)
+    S_new = jsl.cho_solve((Lp, True), eye)
+    S_new = 0.5 * (S_new + S_new.T)
+    L_new = jnp.linalg.cholesky(S_new)
+    return m_new * zm, L_new
 
 
 def marginals(params, q_mu, q_sqrt_raw, Z, zmask, Xs, kernel="Matern32",

@@ -142,6 +142,179 @@ def test_batched_svgp_engine():
             f"expert {i}: elbo {out['objective'][i]} far below bound {bound}"
 
 
+def test_natgrad_step_gamma1_reaches_collapsed_bound():
+    """One conjugate natgrad step with gamma=1 lands exactly on the optimal
+    q(u), whose ELBO is the SGPR collapsed bound (Titsias) at the same Z."""
+    X, y = make_data(40)
+    m = jnp.ones(len(y), dtype=bool)
+    rng = np.random.default_rng(3)
+    M = 12
+    Z = jnp.asarray(X[rng.permutation(len(y))[:M]])
+    zm = jnp.ones(M, dtype=bool)
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+
+    qm, qs = jnp.zeros(M), jnp.eye(M)
+    qm1, qs1 = svgp_math.natgrad_step(PARAMS, qm, qs, Xj, yj, m, Z, zm,
+                                      gamma=1.0)
+    achieved = float(svgp_math.elbo(PARAMS, qm1, qs1, Xj, yj, m, Z, zm))
+    collapsed = float(sgpr_math.elbo(PARAMS, Xj, yj, m, Z, zm))
+    assert np.isclose(achieved, collapsed, atol=1e-6), (achieved, collapsed)
+
+    # a second step is a fixed point
+    qm2, qs2 = svgp_math.natgrad_step(PARAMS, qm1, qs1, Xj, yj, m, Z, zm,
+                                      gamma=1.0)
+    np.testing.assert_allclose(np.asarray(qm2), np.asarray(qm1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(qs2), np.asarray(qs1), atol=1e-7)
+
+    # partial steps improve monotonically toward the bound
+    qmp, qsp = qm, qs
+    prev = float(svgp_math.elbo(PARAMS, qmp, qsp, Xj, yj, m, Z, zm))
+    for _ in range(6):
+        qmp, qsp = svgp_math.natgrad_step(PARAMS, qmp, qsp, Xj, yj, m, Z, zm,
+                                          gamma=0.4)
+        cur = float(svgp_math.elbo(PARAMS, qmp, qsp, Xj, yj, m, Z, zm))
+        assert cur >= prev - 1e-9
+        prev = cur
+    assert prev <= collapsed + 1e-8
+
+
+def test_natgrad_step_masked_equals_unpadded():
+    X, y = make_data(30)
+    n_valid, pad, Mv, Mpad = 20, 32, 10, 16
+    rng = np.random.default_rng(7)
+    Z = X[rng.permutation(30)[:Mv]]
+    qm = rng.standard_normal(Mv) * 0.3
+    qs = np.tril(rng.standard_normal((Mv, Mv)) * 0.05 + np.eye(Mv))
+
+    Xp = np.zeros((pad, 2)); Xp[:n_valid] = X[:n_valid]
+    yp = np.zeros(pad); yp[:n_valid] = y[:n_valid]
+    mk = np.arange(pad) < n_valid
+    Zp = np.zeros((Mpad, 2)); Zp[:Mv] = Z
+    zmp = np.arange(Mpad) < Mv
+    qmp = np.zeros(Mpad); qmp[:Mv] = qm
+    qsp = np.eye(Mpad); qsp[:Mv, :Mv] = qs
+
+    qm_p, qs_p = svgp_math.natgrad_step(
+        PARAMS, jnp.asarray(qmp), jnp.asarray(qsp), jnp.asarray(Xp),
+        jnp.asarray(yp), jnp.asarray(mk), jnp.asarray(Zp), jnp.asarray(zmp),
+        gamma=0.7)
+    qm_u, qs_u = svgp_math.natgrad_step(
+        PARAMS, jnp.asarray(qm), jnp.asarray(qs), jnp.asarray(X[:n_valid]),
+        jnp.asarray(y[:n_valid]), jnp.ones(n_valid, dtype=bool),
+        jnp.asarray(Z), jnp.ones(Mv, dtype=bool), gamma=0.7)
+    np.testing.assert_allclose(np.asarray(qm_p)[:Mv], np.asarray(qm_u),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(qs_p)[:Mv, :Mv], np.asarray(qs_u),
+                               atol=1e-8)
+    # padded rows stay at the prior
+    np.testing.assert_allclose(np.asarray(qm_p)[Mv:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qs_p)[Mv:, Mv:], np.eye(Mpad - Mv),
+                               atol=1e-10)
+
+
+def test_batched_svgp_natural_gradients():
+    """natgrad engine: the final ELBO essentially equals the collapsed bound
+    at the learnt hyperparameters (q is kept optimal throughout)."""
+    B, N, D, M = 2, 40, 2, 12
+    Xb, yb = [], []
+    for i in range(B):
+        X, y = make_data(N, d=D, seed=40 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((B, N), dtype=bool)
+
+    engine = BatchedSVGP(coords_dim=D, num_inducing_points=M,
+                         optim_kwargs={"max_iter": 400, "persistence": 100,
+                                       "natural_gradients": True,
+                                       "gamma": 1.0})
+    out = engine.fit_predict(Xb, yb, mask, optimise=True, predict=False)
+    for i in range(B):
+        p = {k: jnp.asarray(out["params"][k][i])
+             for k in ("lengthscales", "kernel_variance",
+                       "likelihood_variance")}
+        bound = float(sgpr_math.elbo(
+            p, jnp.asarray(Xb[i]), jnp.asarray(yb[i]),
+            jnp.ones(N, dtype=bool),
+            jnp.asarray(out["params"]["inducing_points"][i]),
+            jnp.ones(M, dtype=bool)))
+        assert np.isclose(out["objective"][i], bound, atol=0.02), \
+            (i, out["objective"][i], bound)
+
+
+def test_batched_svgp_minibatch():
+    B, N, D, M = 2, 64, 2, 12
+    Xb, yb = [], []
+    for i in range(B):
+        X, y = make_data(N, d=D, seed=60 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((B, N), dtype=bool)
+    mask[1, 50:] = False   # ragged expert
+
+    engine = BatchedSVGP(coords_dim=D, num_inducing_points=M,
+                         minibatch_size=16,
+                         optim_kwargs={"max_iter": 1500, "persistence": 300,
+                                       "natural_gradients": True,
+                                       "gamma": 0.5})
+    out = engine.fit_predict(Xb, yb, mask, optimise=True, predict=False)
+    assert np.isfinite(out["objective"]).all()
+    # the reported objective is the FULL-batch ELBO; it should be near the
+    # collapsed bound at the learnt hypers despite minibatch noise
+    for i in range(B):
+        p = {k: jnp.asarray(out["params"][k][i])
+             for k in ("lengthscales", "kernel_variance",
+                       "likelihood_variance")}
+        zm = jnp.asarray(out["inducing_mask"][i])
+        bound = float(sgpr_math.elbo(
+            p, jnp.asarray(Xb[i]), jnp.asarray(yb[i]), jnp.asarray(mask[i]),
+            jnp.asarray(out["params"]["inducing_points"][i]), zm))
+        # the final full-batch natgrad polish makes q optimal at final hypers
+        assert np.isclose(out["objective"][i], bound, atol=0.05), \
+            (i, out["objective"][i], bound)
+
+
+def test_batched_sgpr_train_inducing_points():
+    from gpsat_tpu.models.batched import BatchedSGPR
+    B, N, D, M = 2, 48, 2, 6
+    Xb, yb = [], []
+    for i in range(B):
+        X, y = make_data(N, d=D, seed=80 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((B, N), dtype=bool)
+
+    fixed = BatchedSGPR(coords_dim=D, num_inducing_points=M,
+                        optim_kwargs={"max_iter": 300})
+    out_f = fixed.fit_predict(Xb, yb, mask, optimise=True, predict=False)
+    trained = BatchedSGPR(coords_dim=D, num_inducing_points=M,
+                          optim_kwargs={"max_iter": 300,
+                                        "train_inducing_points": True})
+    out_t = trained.fit_predict(Xb, yb, mask, optimise=True, predict=False)
+    # trained-Z ELBO should not be (meaningfully) worse, and Z should move
+    assert (out_t["objective"] >= out_f["objective"] - 0.1).all(), \
+        (out_t["objective"], out_f["objective"])
+    moved = np.abs(out_t["params"]["inducing_points"] -
+                   out_f["params"]["inducing_points"]).max()
+    assert moved > 1e-4
+
+
+def test_svgp_model_natural_gradients():
+    X, y = make_data(50)
+    m = SVGPModel(coords=X, obs=y[:, None], obs_mean="local",
+                  num_inducing_points=16)
+    e0 = m.get_objective_function_value()
+    m.optimise_parameters(max_iter=200, natural_gradients=True, gamma=1.0,
+                          learning_rate=5e-2)
+    e1 = m.get_objective_function_value()
+    assert e1 > e0
+    # q optimal at final hypers: ELBO == collapsed bound at same Z
+    bound = float(sgpr_math.elbo(
+        m._param_dict(), jnp.asarray(m.coords), jnp.asarray(m.obs[:, 0]),
+        jnp.ones(len(m.obs), dtype=bool), jnp.asarray(m.inducing_points),
+        jnp.ones(len(m.inducing_points), dtype=bool)))
+    assert np.isclose(e1, bound, atol=0.02), (e1, bound)
+
+
 def test_svgp_orchestrated_run(tmp_path):
     from gpsat_tpu.local_experts import LocalExpertOI, get_results_from_h5file
     rng = np.random.default_rng(5)
