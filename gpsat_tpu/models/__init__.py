@@ -15,12 +15,19 @@ def get_model(name):
     from gpsat_tpu.models.sgpr import SGPRModel
     from gpsat_tpu.models.svgp import SVGPModel
     from gpsat_tpu.models.vff import VFFModel
+    from gpsat_tpu.models.multioutput import (MultioutputGPRModel,
+                                              MultioutputSVGPModel)
 
     registry = {
         "GPRModel": GPRModel,
         "SGPRModel": SGPRModel,
         "SVGPModel": SVGPModel,
         "VFFModel": VFFModel,
+        # multi-output forward-model experts (reference: models/multioutput/,
+        # experimental there and not in its factory; registered here for
+        # custom drivers)
+        "MultioutputGPRModel": MultioutputGPRModel,
+        "MultioutputSVGPModel": MultioutputSVGPModel,
         # reference-name aliases (config compatibility)
         "GPflowGPRModel": GPRModel,
         "GPflowSGPRModel": SGPRModel,
