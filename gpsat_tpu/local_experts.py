@@ -263,6 +263,10 @@ class LocalExpertOI:
                 if dim_cols:
                     piv = df.pivot_table(index=coords_col, columns=dim_cols,
                                          values=pn, aggfunc="last")
+                    # row-major (dim_0, dim_1, ...) order, flat columns so the
+                    # merge below stays single-level
+                    piv = piv.sort_index(axis=1)
+                    piv.columns = range(piv.shape[1])
                 else:
                     piv = df.set_index(coords_col)[[pn]]
                 merged = key_df.merge(piv.reset_index(), on=coords_col, how="left")

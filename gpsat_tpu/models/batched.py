@@ -405,6 +405,21 @@ class BatchedSGPR(BatchedGPR):
     def param_names(self):
         return list(self.HYPER_NAMES) + ["inducing_points"]
 
+    @property
+    def loadable_param_names(self):
+        """Hyperparameters + per-expert inducing locations are re-loadable
+        from result tables (reference load_params reads every param table,
+        GPSat/local_experts.py:609-689). Missing/NaN rows fall back to the
+        seeded re-selection; stored padded rows are zeros, which is only
+        exact when the reload uses the same local data (the smoothed
+        re-prediction case)."""
+        return list(self.HYPER_NAMES) + ["inducing_points"]
+
+    def param_shape(self, name):
+        if name == "inducing_points":
+            return (self.num_inducing, self.d)
+        return super().param_shape(name)
+
     def _build_inducing(self, X, mask):
         """Seeded random-subset inducing points per expert, padded + masked."""
         X = np.asarray(X)
@@ -429,12 +444,7 @@ class BatchedSGPR(BatchedGPR):
     def fit_predict(self, X, y, mask, Xs=None, optimise=True, predict=True,
                     param_overrides=None):
         self._Z, self._zmask = self._build_inducing(X, mask)
-        if param_overrides and param_overrides.get("inducing_points") is not None:
-            ov = np.asarray(param_overrides["inducing_points"])
-            ov = ov.reshape(len(self._Z), -1, self.d)
-            ok = ~np.isnan(ov).any(axis=(1, 2))
-            k = min(self._Z.shape[1], ov.shape[1])
-            self._Z[ok, :k] = ov[ok, :k]
+        self._apply_inducing_override(param_overrides)
         out = super().fit_predict(X, y, mask, Xs=Xs, optimise=optimise,
                                   predict=predict,
                                   param_overrides=param_overrides)
@@ -445,6 +455,21 @@ class BatchedSGPR(BatchedGPR):
             self._zmask[:, :, None])  # zero padded rows for storage
         out["inducing_mask"] = self._zmask
         return out
+
+    def _apply_inducing_override(self, param_overrides):
+        """Adopt loaded inducing locations row-wise: a loaded row replaces the
+        seeded one when it is finite and the slot is valid (zmask). NaN rows
+        (expert missing from the table, or stored M < configured M) keep the
+        seeded selection — matching the reference's NaN-skip on param load
+        (GPSat/local_experts.py:669-679)."""
+        if not (param_overrides and
+                param_overrides.get("inducing_points") is not None):
+            return
+        ov = np.asarray(param_overrides["inducing_points"], dtype=float)
+        ov = ov.reshape(len(self._Z), -1, self.d)
+        k = min(self._Z.shape[1], ov.shape[1])
+        adopt = (~np.isnan(ov[:, :k]).any(axis=2)) & self._zmask[:, :k]
+        self._Z[:, :k][adopt] = ov[:, :k][adopt]
 
     def _snapshot_state(self):
         return {"Z": getattr(self, "_Z_final", None)}
@@ -696,14 +721,18 @@ class BatchedSVGP(BatchedSGPR):
 
     @property
     def loadable_param_names(self):
-        """Hyperparameters + inducing mean are re-loadable per expert.
-        (inducing_chol and inducing_points have O(M^2)/O(M d) columns per
-        expert; they re-initialise from identity / seeded selection.)"""
-        return list(self.HYPER_NAMES) + ["inducing_mean"]
+        """All variational state is re-loadable per expert: hyperparameters,
+        inducing locations, q_mu and q_sqrt (reference load_params reads every
+        param table, GPSat/local_experts.py:609-689). NaN/missing entries fall
+        back to seeded selection / zero mean / identity chol."""
+        return list(self.HYPER_NAMES) + ["inducing_points", "inducing_mean",
+                                         "inducing_chol"]
 
     def param_shape(self, name):
         if name == "inducing_mean":
             return (self.num_inducing,)
+        if name == "inducing_chol":
+            return (self.num_inducing, self.num_inducing)
         return super().param_shape(name)
 
     def _build_perm(self, mask, mb):
@@ -729,21 +758,21 @@ class BatchedSVGP(BatchedSGPR):
         self._qm0 = np.zeros((B, M))
         self._qs0 = np.broadcast_to(np.eye(M), (B, M, M)).copy()
         if param_overrides:
-            if param_overrides.get("inducing_points") is not None:
-                ov = np.asarray(param_overrides["inducing_points"])
-                ov = ov.reshape(B, -1, self.d)
-                ok = ~np.isnan(ov).any(axis=(1, 2))
-                k = min(M, ov.shape[1])
-                self._Z[ok, :k] = ov[ok, :k]
+            self._apply_inducing_override(param_overrides)
             if param_overrides.get("inducing_mean") is not None:
-                ov = np.asarray(param_overrides["inducing_mean"])
-                ok = ~np.isnan(ov).any(axis=tuple(range(1, ov.ndim)))
-                self._qm0[ok] = ov.reshape(B, -1)[ok, :M]
+                ov = np.asarray(param_overrides["inducing_mean"],
+                                dtype=float).reshape(B, -1)[:, :M]
+                use = ~np.isnan(ov)
+                self._qm0[:, :ov.shape[1]][use] = ov[use]
             if param_overrides.get("inducing_chol") is not None:
-                ov = np.asarray(param_overrides["inducing_chol"])
-                ov = ov.reshape(B, -1)
-                ok = ~np.isnan(ov).any(axis=1)
-                self._qs0[ok] = ov[ok].reshape(-1, M, M)
+                ov = np.asarray(param_overrides["inducing_chol"], dtype=float)
+                Mo = int(round(np.sqrt(ov.reshape(B, -1).shape[1])))
+                ov = ov.reshape(B, Mo, Mo)
+                k = min(M, Mo)
+                # an expert's chol loads whole or not at all (a partial
+                # triangle is not a valid factor)
+                ok = ~np.isnan(ov[:, :k, :k]).any(axis=(1, 2))
+                self._qs0[np.ix_(ok, range(k), range(k))] = ov[ok, :k, :k]
         self._mb = 0
         self._perm = np.zeros((B, 1), dtype=np.int32)
         if self.minibatch_size is not None and self.minibatch_size < N:

@@ -285,7 +285,10 @@ def gaussian_2d_smooth_sharded(x0, y0, x, y, l_x, l_y, vals, mesh=None,
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from gpsat_tpu.parallel.mesh import get_mesh, pad_to_multiple
 
     if mesh is None:

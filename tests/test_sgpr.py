@@ -178,3 +178,52 @@ def test_sgpr_orchestrated_run(tmp_path):
     # prediction at the expert location should be close to the local field
     assert abs(pred["f*"].iloc[0] + pred["f_bar"].iloc[0]
                - (np.sin(0) + 0.3 * np.cos(0))) < 0.2
+
+
+def test_sgpr_load_params_repredict_inducing(tmp_path):
+    """load_params restores inducing locations, not just hypers: a reload
+    with a *different* inducing seed + optimise=False must reproduce the
+    original predictions exactly (reference load_params flow,
+    GPSat/local_experts.py:553-689)."""
+    from gpsat_tpu.local_experts import LocalExpertOI, get_results_from_h5file
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "x": rng.uniform(-100, 100, n), "y": rng.uniform(-100, 100, n),
+        "t": 0.0})
+    df["z"] = (np.sin(df["x"] / 30) + 0.3 * np.cos(df["y"] / 40)
+               + 0.05 * rng.standard_normal(n))
+    eloc = pd.DataFrame({"x": [0.0, 20.0], "y": [0.0, -10.0], "t": [0.0, 0.0]})
+    data_config = {"data_source": df, "obs_col": "z",
+                   "coords_col": ["x", "y", "t"],
+                   "local_select": [{"col": ["x", "y"], "comp": "<",
+                                     "val": 100.0}]}
+    model_config = {"oi_model": "SGPRModel",
+                    "init_params": {"coords_scale": [30, 30, 1],
+                                    "num_inducing_points": 48,
+                                    "inducing_seed": 42}}
+    store = str(tmp_path / "sgpr_reload.h5")
+    LocalExpertOI(expert_loc_config={"source": eloc}, data_config=data_config,
+                  model_config=model_config,
+                  pred_loc_config={"method": "expert_loc"}).run(
+        store_path=store, optimise=True, check_config_compatible=False,
+        verbose=False)
+
+    # reload: different seed would re-select different inducing points, so a
+    # prediction match proves the stored ones were loaded
+    model_config2 = dict(model_config)
+    model_config2["init_params"] = dict(model_config["init_params"],
+                                        inducing_seed=123)
+    model_config2["load_params"] = {"file": store, "table_suffix": ""}
+    LocalExpertOI(expert_loc_config={"source": eloc}, data_config=data_config,
+                  model_config=model_config2,
+                  pred_loc_config={"method": "expert_loc"}).run(
+        store_path=store, optimise=False, predict=True,
+        table_suffix="_RELOAD", check_config_compatible=False, verbose=False)
+
+    dfs, _ = get_results_from_h5file(store)
+    a = dfs["preds"].sort_values(["x", "y"]).reset_index(drop=True)
+    b = dfs["preds_RELOAD"].sort_values(["x", "y"]).reset_index(drop=True)
+    np.testing.assert_allclose(a["f*"].values, b["f*"].values, atol=1e-7)
+    np.testing.assert_allclose(a["f*_var"].values, b["f*_var"].values,
+                               atol=1e-7)

@@ -342,3 +342,49 @@ def test_svgp_orchestrated_run(tmp_path):
     assert "inducing_chol" in dfs
     pred = dfs["preds"]
     assert abs(pred["f*"].iloc[0] + pred["f_bar"].iloc[0] - np.sin(0)) < 0.25
+
+
+def test_svgp_load_params_repredict_variational(tmp_path):
+    """load_params restores the full variational state (Z, q_mu, q_sqrt):
+    a reload with optimise=False and a different inducing seed reproduces the
+    original predictions (reference: GPSat/local_experts.py:553-689; SVGP
+    variational getters gpflow_models.py:1259-1310)."""
+    from gpsat_tpu.local_experts import LocalExpertOI, get_results_from_h5file
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame({"x": rng.uniform(-50, 50, n),
+                       "y": rng.uniform(-50, 50, n), "t": 0.0})
+    df["z"] = np.sin(df["x"] / 20) + 0.05 * rng.standard_normal(n)
+    eloc = pd.DataFrame({"x": [0.0], "y": [0.0], "t": [0.0]})
+    data_config = {"data_source": df, "obs_col": "z",
+                   "coords_col": ["x", "y", "t"],
+                   "local_select": [{"col": ["x", "y"], "comp": "<",
+                                     "val": 60.0}]}
+    model_config = {"oi_model": "SVGPModel",
+                    "init_params": {"coords_scale": [20, 20, 1],
+                                    "num_inducing_points": 24,
+                                    "inducing_seed": 42},
+                    "optim_kwargs": {"max_iter": 400}}
+    store = str(tmp_path / "svgp_reload.h5")
+    LocalExpertOI(expert_loc_config={"source": eloc}, data_config=data_config,
+                  model_config=model_config,
+                  pred_loc_config={"method": "expert_loc"}).run(
+        store_path=store, optimise=True, check_config_compatible=False,
+        verbose=False)
+
+    model_config2 = dict(model_config)
+    model_config2["init_params"] = dict(model_config["init_params"],
+                                        inducing_seed=99)
+    model_config2["load_params"] = {"file": store, "table_suffix": ""}
+    LocalExpertOI(expert_loc_config={"source": eloc}, data_config=data_config,
+                  model_config=model_config2,
+                  pred_loc_config={"method": "expert_loc"}).run(
+        store_path=store, optimise=False, predict=True,
+        table_suffix="_RELOAD", check_config_compatible=False, verbose=False)
+
+    dfs, _ = get_results_from_h5file(store)
+    a = dfs["preds"].sort_values(["x", "y"]).reset_index(drop=True)
+    b = dfs["preds_RELOAD"].sort_values(["x", "y"]).reset_index(drop=True)
+    np.testing.assert_allclose(a["f*"].values, b["f*"].values, atol=1e-6)
+    np.testing.assert_allclose(a["f*_var"].values, b["f*_var"].values,
+                               atol=1e-6)
