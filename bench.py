@@ -24,12 +24,14 @@ def make_workload(E, N, P, D=3, seed=0):
     """Synthetic local-expert datasets with GP-like structure."""
     rng = np.random.default_rng(seed)
     X = rng.uniform(-4.0, 4.0, (E, N, D)).astype(np.float64)
-    X[..., 2] = 0.0
+    if D > 2:
+        X[..., 2] = 0.0
     # smooth field + noise (cheap stand-in for a GP draw)
     z = (0.4 * np.sin(X[..., 0] * 0.8) + 0.3 * np.cos(X[..., 1] * 0.6)
          + 0.05 * rng.standard_normal((E, N)))
     Xs = rng.uniform(-4.0, 4.0, (E, P, D)).astype(np.float64)
-    Xs[..., 2] = 0.0
+    if D > 2:
+        Xs[..., 2] = 0.0
     return X, z, Xs
 
 
@@ -102,7 +104,8 @@ def baseline_rate(X, z, Xs, n_sample=4):
 def main(model="gpr"):
     import jax
     import jax.numpy as jnp
-    from gpsat_tpu.models.batched import BatchedGPR, BatchedSGPR
+    from gpsat_tpu.models.batched import (BatchedGPR, BatchedSGPR,
+                                          BatchedSVGP, BatchedVFF)
 
     dev = jax.devices()[0]
     on_accel = dev.platform != "cpu"
@@ -113,6 +116,13 @@ def main(model="gpr"):
         # points (reference: IS2_GPSat_train.py SGPR config)
         E = 128 if on_accel else 16
         N, P, D, M = 2000, 400, 3, 500
+    elif model == "svgp":
+        E = 128 if on_accel else 8
+        N, P, D, M = 1000, 400, 3, 128
+    elif model == "vff":
+        # 2-D spectral features (reference: GPflowVFFModel, vff_model.py)
+        E = 128 if on_accel else 8
+        N, P, D, M = 1000, 400, 2, 10   # M = per-dim feature count
     else:
         # sizes: modest enough for CI-on-CPU, meaningful on a real chip
         E = 512 if on_accel else 64
@@ -130,6 +140,12 @@ def main(model="gpr"):
         jitter=1e-6, dtype=dtype)
     if model == "sgpr":
         engine = BatchedSGPR(num_inducing_points=M, **common)
+    elif model == "svgp":
+        common["optim_kwargs"] = {"max_iter": 1000, "learning_rate": 5e-2}
+        engine = BatchedSVGP(num_inducing_points=M, **common)
+    elif model == "vff":
+        common["constraints"]["lengthscales"]["low"] = [0.05] * D
+        engine = BatchedVFF(num_inducing_features=[M] * D, **common)
     else:
         engine = BatchedGPR(**common)
 
@@ -140,14 +156,19 @@ def main(model="gpr"):
 
     from gpsat_tpu.parallel.scheduler import auto_batch_size
     B = min(E, auto_batch_size(N, P))
-    if model == "sgpr":
+    if model == "sgpr" or model == "svgp":
         # dominant buffers are [B, M, N]
         B = min(E, max(1, 2**25 // (M * N)))
+    elif model == "vff":
+        m_eff = (2 * M + 1) ** D
+        B = min(E, max(1, 2**25 // max(m_eff * N, 1)))
 
     def sweep():
         convs, finite = [], True
         for s in range(0, E, B):
             e = min(s + B, E)
+            if model == "vff":
+                engine._expert_locs_scaled = np.zeros((e - s, D))
             out = engine.fit_predict(Xd[s:e], yd[s:e], md[s:e], Xs=Xsd[s:e],
                                      optimise=True, predict=True)
             convs.append(out["converged"])

@@ -49,7 +49,10 @@ def make_gpr_objective(kernel, free_names, d):
         params = dict(fixed)
         for n in free_names:
             params[n] = bijectors[n].forward(free[n])
-        return gpr_math.nlml(params, X, y, mask, kernel=kernel)
+        # fused NLML: analytic adjoint (one tri-inverse + matmul) instead of
+        # autodiff through the Cholesky; values/grads agree to float tolerance
+        return gpr_math.nlml_fused(params, X, y, mask.astype(X.dtype),
+                                   kernel, 0.0)
 
     return objective, spec
 

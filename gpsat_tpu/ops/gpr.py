@@ -23,7 +23,8 @@ import jax.scipy.linalg as jsl
 
 from gpsat_tpu.ops.kernels import kernel_fn
 
-__all__ = ["nlml", "predict", "cholesky_masked", "DEFAULT_KERNEL"]
+__all__ = ["nlml", "nlml_fused", "predict", "cholesky_masked",
+           "DEFAULT_KERNEL"]
 
 DEFAULT_KERNEL = "Matern32"
 
@@ -90,6 +91,80 @@ def predict(params, X, y, mask, Xs, kernel=DEFAULT_KERNEL, jitter=0.0,
     f_var = jnp.maximum(prior_var - jnp.sum(v * v, axis=0), 0.0)
     return {"f*": f_mean, "f*_var": f_var,
             "y_var": f_var + params["likelihood_variance"]}
+
+
+# ---------------------------------------------------------------------------
+# fused NLML with analytic adjoint
+# ---------------------------------------------------------------------------
+#
+# Autodiff through `nlml` differentiates the Cholesky itself, which XLA
+# lowers to a chain of blocked triangular solves per gradient evaluation.
+# The adjoint of the NLML has a closed form (Rasmussen & Williams eq. 5.9):
+#     dNLML/dA = 0.5 (A^{-1} - alpha alpha^T),  alpha = A^{-1} y~
+# so the backward pass needs only ONE triangular inverse + one MXU matmul,
+# and the per-hyperparameter gradients follow from a VJP through the
+# *kernel build only* (elementwise VPU work, generic over every kernel in
+# ops/kernels.py — no per-kernel hand formulas). This replaces the
+# reference's per-expert analytic-gradient NumPy NLML
+# (GPSat/models/pure_python_gpr.py:439-506) in spirit, but stays exact for
+# all kernels because the chain rule through K(theta) is still autodiff.
+
+
+def _build_A(params, X, maskf, jitter, kernel, kernel_kwargs=None):
+    """Masked noisy kernel matrix from a float mask (differentiable)."""
+    k = kernel_fn(kernel)
+    K = k(X, X, params["lengthscales"], params["kernel_variance"],
+          **(kernel_kwargs or {}))
+    K = K * (maskf[:, None] * maskf[None, :])
+    diag = maskf * (params["likelihood_variance"] + jitter) + (1.0 - maskf)
+    return K + jnp.diag(diag)
+
+
+def _nlml_value(params, X, y, maskf, kernel, jitter):
+    A = _build_A(params, X, maskf, jitter, kernel)
+    L = jnp.linalg.cholesky(A)
+    z = jsl.solve_triangular(L, y * maskf, lower=True)
+    quad = 0.5 * jnp.dot(z, z)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    val = quad + logdet + 0.5 * jnp.sum(maskf) * jnp.log(2.0 * jnp.pi)
+    return val, (L, z)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def nlml_fused(params, X, y, maskf, kernel=DEFAULT_KERNEL, jitter=0.0):
+    """`nlml` with a float mask and an analytic VJP.
+
+    Value path: one Cholesky + one vector solve. Gradient path: one
+    triangular inverse + one matmul + a VJP through the kernel build.
+    Numerically identical to `nlml` (same factorisation); gradients agree
+    with autodiff to float tolerance.
+    """
+    return _nlml_value(params, X, y, maskf, kernel, jitter)[0]
+
+
+def _nlml_fused_fwd(params, X, y, maskf, kernel, jitter):
+    val, (L, z) = _nlml_value(params, X, y, maskf, kernel, jitter)
+    return val, (params, X, y, maskf, L, z)
+
+
+def _nlml_fused_bwd(kernel, jitter, res, g):
+    params, X, y, maskf, L, z = res
+    N = L.shape[-1]
+    alpha = jsl.solve_triangular(L, z, lower=True, trans=1)
+    W = jsl.solve_triangular(L, jnp.eye(N, dtype=L.dtype), lower=True)
+    Kinv = W.T @ W
+    Q = Kinv - jnp.outer(alpha, alpha)
+    Abar = (0.5 * g) * Q
+    _, vjp = jax.vjp(
+        lambda p, xx, mm: _build_A(p, xx, mm, jitter, kernel), params, X, maskf)
+    gp, gX, gm = vjp(Abar)
+    gy = g * (maskf * alpha)
+    # mask also enters through y~ = y*m and the 0.5*n*log(2pi) term
+    gm = gm + g * (y * alpha) + g * 0.5 * jnp.log(2.0 * jnp.pi)
+    return gp, gX, gy, gm
+
+
+nlml_fused.defvjp(_nlml_fused_fwd, _nlml_fused_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,10 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
             accept = jnp.isfinite(f_try) & (f_try <= f + 1e-4 * t * gd)
             newly = (~ok) & accept
             f_new = jnp.where(newly, f_try, f_new)
+            # NOTE: quadratic-interpolation trial steps were tried here and
+            # broke convergence on real TPU (objective noise under TPU f32
+            # matmul precision makes the interpolated minimiser unreliable);
+            # plain halving is robust — keep it.
             t = jnp.where(ok | accept, t, t * 0.5)
             return t, f_new, it + 1, ok | accept
 
