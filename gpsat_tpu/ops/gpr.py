@@ -121,9 +121,32 @@ def _build_A(params, X, maskf, jitter, kernel, kernel_kwargs=None):
 
 
 def _nlml_value(params, X, y, maskf, kernel, jitter):
+    """One bordered Cholesky computes factor AND solve.
+
+    chol([[A, y~],[y~^T, c]]) = [[L, 0],[z^T, s]] with z = L^{-1} y~, so
+    appending y~ as a border row/col folds the forward substitution into the
+    factorisation — on TPU a vector triangular solve costs almost as much as
+    the whole Cholesky (pure latency; tpu_stuff/microbench_chain.py), so this
+    nearly halves the value-only evaluation. c just needs c > y~^T A^{-1} y~;
+    since lambda_min(A) >= min(noise+jitter, 1), c = y~.y~/min(noise,1)+1 is
+    safe. The border never enters the value (diag/row slices stop at N).
+    """
     A = _build_A(params, X, maskf, jitter, kernel)
-    L = jnp.linalg.cholesky(A)
-    z = jsl.solve_triangular(L, y * maskf, lower=True)
+    N = A.shape[-1]
+    pad = 8
+    yt = y * maskf
+    noise = params["likelihood_variance"] + jitter
+    c = jnp.dot(yt, yt) / jnp.minimum(noise, 1.0) + 1.0
+    border_diag = jnp.concatenate(
+        [jnp.reshape(c, (1,)).astype(A.dtype),
+         jnp.ones((pad - 1,), A.dtype)])
+    Aext = jnp.pad(A, ((0, pad), (0, pad)))
+    Aext = Aext.at[:N, N].set(yt).at[N, :N].set(yt)
+    Aext = Aext.at[jnp.arange(N, N + pad), jnp.arange(N, N + pad)].set(
+        border_diag)
+    Lext = jnp.linalg.cholesky(Aext)
+    L = Lext[:N, :N]
+    z = Lext[N, :N]
     quad = 0.5 * jnp.dot(z, z)
     logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
     val = quad + logdet + 0.5 * jnp.sum(maskf) * jnp.log(2.0 * jnp.pi)

@@ -71,12 +71,18 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
         return -r
 
     def linesearch(x, f, g, d, skip, t_init):
-        """Batch Armijo backtracking with per-element warm-started trial
-        steps. Every halving step costs one full-batch objective evaluation
-        and the loop runs until the slowest element accepts, so elements that
-        chronically backtrack start from (2x) their previously accepted step
-        instead of 1.0. Elements in `skip` (already converged) count as
-        accepted immediately."""
+        """Batch Armijo backtracking by halving. Elements in `skip` (already
+        converged) count as accepted immediately.
+
+        Two alternatives were measured on real TPU and rejected
+        (tpu_stuff/microbench_trip.py):
+        - quadratic-interpolation trial steps break convergence under TPU
+          f32 matmul noise (conv 1.00 -> 0.01);
+        - evaluating all C candidate steps in one [C*B] call is NOT cheaper:
+          the objective's cost scales linearly with batch (XLA Cholesky is
+          ~N sequential column steps whose per-step cost is
+          bandwidth-bound), so the sweep pays C full evals for one trip.
+        """
         gd = jnp.sum(g * d, axis=-1)                       # [B]
 
         def cond(c):
@@ -89,10 +95,6 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
             accept = jnp.isfinite(f_try) & (f_try <= f + 1e-4 * t * gd)
             newly = (~ok) & accept
             f_new = jnp.where(newly, f_try, f_new)
-            # NOTE: quadratic-interpolation trial steps were tried here and
-            # broke convergence on real TPU (objective noise under TPU f32
-            # matmul precision makes the interpolated minimiser unreliable);
-            # plain halving is robust — keep it.
             t = jnp.where(ok | accept, t, t * 0.5)
             return t, f_new, it + 1, ok | accept
 
@@ -111,7 +113,12 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
         bad_dir = ~jnp.isfinite(gd) | (gd >= 0)
         d = jnp.where(bad_dir[:, None], -g, d)
 
-        t_init = jnp.ones(B, dtype)  # full first trial: the L-BFGS unit step
+        # NOTE: warm-started trial steps (t_init = 2*previous accepted t)
+        # were measured on real TPU and rejected: they cut evals/trip but
+        # ~10% of experts stop converging (stuck at sub-unit steps under
+        # TPU f32 objective noise), dragging whole batches to max_iter
+        # (conv 1.00 -> 0.88). The unit first trial is robust.
+        t_init = jnp.ones(B, dtype)
         t, f_ls, ls_ok = linesearch(x, f, g, d, done, t_init)
         ls_ok = ls_ok & (~done)   # done elements were skipped, not accepted
         x_new = x + t[:, None] * d

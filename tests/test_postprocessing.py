@@ -83,3 +83,43 @@ def test_sharded_smoother_matches_single_device():
     got = gaussian_2d_smooth_sharded(x, y, x, y, 2.0, 1.5, vals, mesh=mesh)
     want = gaussian_2d_smooth(x, y, x, y, 2.0, 1.5, vals)
     np.testing.assert_allclose(got, want, atol=1e-10, equal_nan=True)
+
+
+def test_tiled_smoother_matches_dense():
+    """Halo-exchange tiled smoother == dense all-pairs smoother (truncation
+    beyond 6 sigma is below 1e-8)."""
+    from gpsat_tpu.parallel.mesh import get_mesh
+    from gpsat_tpu.postprocessing import (gaussian_2d_smooth,
+                                          gaussian_2d_smooth_tiled)
+    rng = np.random.default_rng(3)
+    E = 500
+    x = rng.uniform(-100, 100, E)
+    y = rng.uniform(-100, 100, E)
+    vals = np.sin(x / 30) + 0.1 * rng.standard_normal(E)
+    vals[::37] = np.nan                      # NaN sources are skipped
+    mesh = get_mesh()
+    got = gaussian_2d_smooth_tiled(x, y, x, y, 5.0, 7.0, vals, mesh=mesh)
+    want = gaussian_2d_smooth(x, y, x, y, 5.0, 7.0, vals)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+
+def test_tiled_smoother_distinct_outputs():
+    """Output locations different from sources; tiny-E fallback path too."""
+    from gpsat_tpu.parallel.mesh import get_mesh
+    from gpsat_tpu.postprocessing import (gaussian_2d_smooth,
+                                          gaussian_2d_smooth_tiled)
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-50, 50, 300)
+    y = rng.uniform(-50, 50, 300)
+    vals = np.cos(y / 20)
+    x0 = rng.uniform(-40, 40, 97)
+    y0 = rng.uniform(-40, 40, 97)
+    mesh = get_mesh()
+    got = gaussian_2d_smooth_tiled(x0, y0, x, y, 4.0, 4.0, vals, mesh=mesh)
+    want = gaussian_2d_smooth(x0, y0, x, y, 4.0, 4.0, vals)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+    # tiny problem falls back to the dense path
+    got2 = gaussian_2d_smooth_tiled(x0[:5], y0[:5], x, y, 4.0, 4.0, vals,
+                                    mesh=mesh)
+    want2 = gaussian_2d_smooth(x0[:5], y0[:5], x, y, 4.0, 4.0, vals)
+    np.testing.assert_allclose(got2, want2, rtol=1e-12)
