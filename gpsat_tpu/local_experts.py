@@ -496,14 +496,18 @@ class LocalExpertOI:
         from gpsat_tpu.models.sgpr import SGPRModel
         from gpsat_tpu.models.svgp import SVGPModel
         from gpsat_tpu.models.vff import VFFModel
-        from gpsat_tpu.models.batched import BatchedSVGP, BatchedVFF
+        from gpsat_tpu.models.asvgp import ASVGPModel
+        from gpsat_tpu.models.batched import (BatchedASVGP, BatchedSVGP,
+                                              BatchedVFF)
         engines = {GPRModel: BatchedGPR, SGPRModel: BatchedSGPR,
-                   SVGPModel: BatchedSVGP, VFFModel: BatchedVFF}
+                   SVGPModel: BatchedSVGP, VFFModel: BatchedVFF,
+                   ASVGPModel: BatchedASVGP}
         engine_cls = engines.get(self.model)
         if engine_cls is None:
             # fall back by name for custom subclasses
             name = getattr(self.model, "__name__", "")
-            engine_cls = (BatchedSVGP if "SVGP" in name else
+            engine_cls = (BatchedASVGP if "ASVGP" in name else
+                          BatchedSVGP if "SVGP" in name else
                           BatchedSGPR if "SGPR" in name else
                           BatchedVFF if "VFF" in name else BatchedGPR)
         ip = {k: v for k, v in init_params.items()

@@ -15,6 +15,7 @@ def get_model(name):
     from gpsat_tpu.models.sgpr import SGPRModel
     from gpsat_tpu.models.svgp import SVGPModel
     from gpsat_tpu.models.vff import VFFModel
+    from gpsat_tpu.models.asvgp import ASVGPModel
     from gpsat_tpu.models.multioutput import (MultioutputGPRModel,
                                               MultioutputSVGPModel)
 
@@ -23,6 +24,7 @@ def get_model(name):
         "SGPRModel": SGPRModel,
         "SVGPModel": SVGPModel,
         "VFFModel": VFFModel,
+        "ASVGPModel": ASVGPModel,
         # multi-output forward-model experts (reference: models/multioutput/,
         # experimental there and not in its factory; registered here for
         # custom drivers)
@@ -33,6 +35,7 @@ def get_model(name):
         "GPflowSGPRModel": SGPRModel,
         "GPflowSVGPModel": SVGPModel,
         "GPflowVFFModel": VFFModel,
+        "GPflowASVGPModel": ASVGPModel,
         "PurePythonGPR": GPRModel,
         "sklearnGPRModel": GPRModel,
         "GPyTorchGPRModel": GPRModel,

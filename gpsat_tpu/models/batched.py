@@ -828,12 +828,14 @@ class BatchedSVGP(BatchedSGPR):
 
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "ms",
                                    "optimise", "do_predict", "max_iter",
-                                   "gtol", "ftol", "jitter"))
+                                   "gtol", "ftol", "jitter", "mathmod"))
 def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
                      free_names, d, ms, optimise, do_predict, max_iter, gtol,
-                     ftol, jitter):
+                     ftol, jitter, mathmod=None):
     from gpsat_tpu.ops import vff as vff_math
     from gpsat_tpu.ops.packing import ParamSpec
+    if mathmod is None:
+        mathmod = vff_math
 
     shapes = {"lengthscales": (d,), "kernel_variance": (d,),
               "likelihood_variance": ()}
@@ -844,8 +846,8 @@ def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
         params = dict(fixed)
         for n in free_names:
             params[n] = bijectors[n].forward(free[n])
-        return vff_math.neg_elbo(params, X, y, mask, a, b, ms, kernel=kernel,
-                                 jitter=jitter)
+        return mathmod.neg_elbo(params, X, y, mask, a, b, ms, kernel=kernel,
+                                jitter=jitter)
 
     if optimise and free_names:
         u, fval, conv, iters = _batched_lbfgs_jit(
@@ -868,7 +870,7 @@ def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
 
     if do_predict:
         preds = jax.vmap(
-            lambda p, xi, yi, mi, ai, bi, xsi: vff_math.predict(
+            lambda p, xi, yi, mi, ai, bi, xsi: mathmod.predict(
                 p, xi, yi, mi, xsi, ai, bi, ms, kernel=kernel, jitter=jitter))(
             params, X, y, mask, a, b, Xs)
     else:
@@ -885,6 +887,7 @@ class BatchedVFF(BatchedGPR):
 
     model_name = "VFFModel"
     objective_sign = -1.0
+    _math = None   # resolved lazily to ops.vff (subclasses swap feature math)
 
     def __init__(self, coords_dim, kernel="Matern32",
                  num_inducing_features=None, domain_size=None,
@@ -978,4 +981,30 @@ class BatchedVFF(BatchedGPR):
             kernel=self.kernel, free_names=self.free_names, d=self.d,
             ms=self.ms, optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
-            jitter=self.jitter)
+            jitter=self.jitter, mathmod=self._math)
+
+
+class BatchedASVGP(BatchedVFF):
+    """Batched ASVGP engine: B-spline inducing features on per-expert box
+    domains (reference: GPflowASVGPModel, GPSat/models/asvgp_model.py:18;
+    feature math in ops/asvgp.py). Same collapsed bound / domain logic as
+    BatchedVFF; `num_inducing_features` counts spline basis functions per
+    dim, which must exceed the spline degree for the kernel."""
+
+    model_name = "ASVGPModel"
+
+    def __init__(self, coords_dim, kernel="Matern32",
+                 num_inducing_features=None, domain_size=None,
+                 jitter=None, **kwargs):
+        from gpsat_tpu.ops import asvgp as asvgp_math
+        super().__init__(coords_dim, kernel=kernel,
+                         num_inducing_features=num_inducing_features,
+                         domain_size=domain_size,
+                         jitter=asvgp_math.DEFAULT_JITTER if jitter is None
+                         else jitter, **kwargs)
+        self._math = asvgp_math
+        degree = asvgp_math.spline_degree(kernel)
+        for m in self.ms:
+            assert m > degree, (
+                f"ASVGP needs num_inducing_features > spline degree "
+                f"({degree}) for kernel {kernel}; got {m}")

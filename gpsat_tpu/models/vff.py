@@ -48,7 +48,15 @@ def resolve_domain(coords, coords_scale, domain_size=None, expert_loc=None,
 
 
 class VFFModel(GPRModel):
-    """VFF expert: O(N M^2) precompute, O(M^3)/iteration, M = prod(2 m_d - 1)."""
+    """VFF expert: O(N M^2) precompute, O(M^3)/iteration, M = prod(2 m_d - 1).
+
+    The feature math lives in `_math` (ops/vff.py); ASVGPModel swaps in the
+    B-spline feature module (ops/asvgp.py) — same collapsed bound, different
+    Kuu/Kuf.
+    """
+
+    _math = vff_math
+    _features_per_dim = staticmethod(vff_math.num_features)
 
     def __init__(self,
                  data=None, coords_col=None, obs_col=None, coords=None,
@@ -115,7 +123,7 @@ class VFFModel(GPRModel):
     def get_objective_function_value(self):
         """The collapsed VFF ELBO (reference semantics: vff_model.py:265)."""
         X, y, m, a, b = self._vff_args()
-        return float(vff_math.elbo(self._param_dict(), X, y, m, a, b, self.ms,
+        return float(self._math.elbo(self._param_dict(), X, y, m, a, b, self.ms,
                                    kernel=self.kernel, jitter=self.jitter))
 
     def optimise_parameters(self, max_iter=1000, fixed_params=None,
@@ -132,13 +140,14 @@ class VFFModel(GPRModel):
         params = self._param_dict()
         fixed = {n: params[n] for n in self.param_names if n not in free_names}
         ms, kernel, jitter = self.ms, self.kernel, self.jitter
+        mathmod = self._math
 
         def objective(u, X, y, m, a, b, bijectors, fixed_v):
             free = unpack(u, spec)
             p = dict(fixed_v)
             for n in free_names:
                 p[n] = bijectors[n].forward(free[n])
-            return vff_math.neg_elbo(p, X, y, m, a, b, ms, kernel=kernel,
+            return mathmod.neg_elbo(p, X, y, m, a, b, ms, kernel=kernel,
                                      jitter=jitter)
 
         u0 = pack({n: bij[n].inverse(params[n]) for n in free_names}, spec)
@@ -171,7 +180,7 @@ class VFFModel(GPRModel):
         if apply_scale:
             coords = coords / self.coords_scale
         X, y, m, a, b = self._vff_args()
-        out = vff_math.predict(self._param_dict(), X, y, m,
+        out = self._math.predict(self._param_dict(), X, y, m,
                                jnp.asarray(coords), a, b, self.ms,
                                kernel=self.kernel, jitter=self.jitter)
         result = {k: np.asarray(v) for k, v in out.items()}

@@ -40,7 +40,9 @@ __all__ = ["pallas_value_supported", "nlml_value_batched"]
 
 _T = 128           # panel height = MXU/VPU tile
 _MAX_D = 5
-_VMEM_BUDGET = 10 * 2**20   # bytes for the A scratch per grid step
+_VMEM_BUDGET = 32 * 2**20   # bytes for the A scratch per grid step
+_VMEM_LIMIT = 100 * 2**20   # Mosaic scoped-vmem limit (v5e has 128 MiB)
+_MAX_GROUP = 24             # experts per grid step (measured optimum at N=512)
 
 # r2 scale factor per kernel: q2_j = scale * (dx_j / ls_j)^2
 _KERNELS = {
@@ -83,7 +85,7 @@ def _group_size(N):
     """Experts per grid step, sized so A [Bt, N, N+T] fits the VMEM budget."""
     per = N * (N + _T) * 4
     bt = max(2, int(_VMEM_BUDGET // per))
-    return int(min(bt, 16))
+    return int(min(bt, _MAX_GROUP))
 
 
 def _value_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
@@ -100,31 +102,43 @@ def _value_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
     scale = f32(_KERNELS[kernel])
 
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
-    sub_n = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _T), 2)
 
     # ---- build A (masked kernel matrix) into a_ref[:, :, :N] ----------
+    # Row-panel at a time so live temporaries are [Bt, T, N], not
+    # [Bt, N, N] — whole-matrix temporaries blow the Mosaic scoped-vmem
+    # stack at group sizes worth running.
     yt = yt_ref[:]                                   # [Bt, N] (y * mask)
     m = xt_ref[:, 7, :]                              # [Bt, N] float mask
-    r2 = jnp.zeros((Bt, N, N), f32)
-    for j in range(d):
-        ls_j = p_ref[:, j:j + 1]                     # [Bt, 1]
-        xj = xt_ref[:, j, :] / ls_j                  # [Bt, N]
-        dj = xj[:, :, None] - xj[:, None, :]
-        r2 = r2 + dj * dj
-    r2 = r2 * scale
     sf2 = p_ref[:, 5:6]                              # [Bt, 1]
     noise = p_ref[:, 6:7]                            # noise + jitter
-    K = sf2[:, :, None] * _phi(kernel, r2, f32)
-    mm = m[:, :, None] * m[:, None, :]
-    diag = jnp.where(lane_n == sub_n,
-                     (m * (noise + f32(-1.0)) + f32(1.0))[:, :, None]
-                     + jnp.zeros((Bt, N, N), f32), f32(0.0))
     # diag value = m*noise + (1-m): rewrite of where(m, noise, 1)
-    a_ref[:, :, :N] = K * mm + diag
-    # border: lane N carries y~, lanes N+1.. are zero
-    a_ref[:, :, N:] = yt[:, :, None] * jnp.where(lane_t == 0, f32(1.0),
-                                                 f32(0.0))
+    diagv = m * (noise + f32(-1.0)) + f32(1.0)       # [Bt, N]
+    border01 = jnp.where(lane_t == 0, f32(1.0), f32(0.0))
+    def _rows(v, r0):
+        """[Bt, T, 1] row-slice of a [Bt, N] value (explicit slice then
+        expand: slice+newaxis in one subscript lowers to an unsupported
+        Mosaic gather)."""
+        return jax.lax.slice_in_dim(v, r0, r0 + _T, axis=1)[:, :, None]
+
+    for rb in range(nb):
+        r0 = rb * _T
+        sub_abs = jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1) + r0
+        r2 = jnp.zeros((Bt, _T, N), f32)
+        for j in range(d):
+            ls_j = p_ref[:, j:j + 1]                 # [Bt, 1]
+            xj = xt_ref[:, j, :] / ls_j              # [Bt, N]
+            dj = _rows(xj, r0) - xj[:, None, :]      # [Bt, T, N]
+            r2 = r2 + dj * dj
+        r2 = r2 * scale
+        K = sf2[:, :, None] * _phi(kernel, r2, f32)
+        mm = _rows(m, r0) * m[:, None, :]
+        dterm = jnp.where(lane_n == sub_abs,
+                          _rows(diagv, r0)
+                          + jnp.zeros((Bt, _T, N), f32), f32(0.0))
+        a_ref[:, r0:r0 + _T, :N] = K * mm + dterm
+        # border: lane N carries y~, lanes N+1.. are zero
+        a_ref[:, r0:r0 + _T, N:] = _rows(yt, r0) * border01
 
     # ---- blocked factorisation ----------------------------------------
     logdet = jnp.zeros((Bt, 1, 1), f32)
@@ -156,7 +170,12 @@ def _value_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
             quad = quad + zc * zc
             return logdet, quad
 
-        logdet, quad = jax.lax.fori_loop(0, _T, col_step, (logdet, quad))
+        # i32 array bounds force the while-loop form of fori_loop: under
+        # jax_enable_x64 (on at package import) the static-bound form scans
+        # with an i64 counter, and Mosaic's i64->i32 cast lowering recurses
+        # infinitely (RecursionError at compile time on real TPU).
+        logdet, quad = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_T),
+                                         col_step, (logdet, quad))
 
         # trailing row blocks: A[ib, ib: ] -= U[kb, ib]^T @ U[kb, ib: ]
         for ib in range(kb + 1, nb):
@@ -165,6 +184,9 @@ def _value_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
             g = jax.lax.dot_general(
                 u_ki, u_krest,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,   # MXU f32 passes: the
+                # default single-pass bf16 matmul costs ~3e-3 relative error
+                # in the NLML (measured; XLA f32 path is ~1e-5 vs f64)
                 preferred_element_type=f32)                  # [Bt, T, W_ib]
             a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:] = (
                 a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:] - g)
@@ -184,21 +206,25 @@ def _nlml_value_call(xt, yt, p, *, kernel, d, interpret=False):
     bt = _group_size(N)
     G = Bp // bt
     kern = functools.partial(_value_kernel, kernel=kernel, d=d, N=N)
+    # index maps must return i32: under jax_enable_x64 a literal 0 traces as
+    # an i64 constant, which Mosaic cannot legalize in the index-map return
+    z = np.int32(0)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Bp, _T), jnp.float32),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((bt, 8, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, 8, N), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, N), lambda i: (i, 0),
+            pl.BlockSpec((bt, N), lambda i: (i, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 8), lambda i: (i, 0),
+            pl.BlockSpec((bt, 8), lambda i: (i, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, _T), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bt, _T), lambda i: (i, z),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bt, N, N + _T), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xt, yt, p)
     return out[:, 0]
