@@ -33,9 +33,29 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
     objective, spec = make_gpr_objective(kernel, free_names, d)
 
     if optimise and free_names:
+        # linesearch value evals through the fused Pallas kernel when the
+        # platform/kernel supports it: kernel build + blocked Cholesky +
+        # bordered solve in one VMEM-resident program (~1.6x the XLA value
+        # path at [69,400,400] f32 on v5e). value_and_grad stays on the
+        # analytic-adjoint XLA path, so accepted iterates and convergence
+        # checks see one consistent objective.
+        from gpsat_tpu.ops.pallas_gpr import (nlml_value_batched,
+                                              pallas_value_supported)
+        value_fun = None
+        if pallas_value_supported(kernel, d):
+            def value_fun(u, X, y, mask, bijectors, fixed):
+                def to_params(ui, bi, fi):
+                    free = unpack(ui, spec)
+                    params = dict(fi)
+                    for n in free_names:
+                        params[n] = bi[n].forward(free[n])
+                    return params
+                params = jax.vmap(to_params)(u, bijectors, fixed)
+                return nlml_value_batched(params, X, y, mask.astype(X.dtype),
+                                          kernel, 0.0)
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
-            ftol, 10, 12, "custom")
+            ftol, 10, 12, "custom", value_fun=value_fun)
     else:
         u = u0
         fval = jax.vmap(lambda ui, xi, yi, mi, bi, fi:

@@ -182,19 +182,28 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "engine"))
+                                   "engine", "value_fun"))
 def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
-                       memory_size, max_linesearch_steps, engine="custom"):
+                       memory_size, max_linesearch_steps, engine="custom",
+                       value_fun=None):
+    """value_fun, if given, overrides the vmapped `fun` for the *value-only*
+    linesearch evaluations: value_fun(x [B, P], *args) -> [B]. Used to route
+    trial-step objective values through a fused batch kernel (Pallas) while
+    value_and_grad stays on the autodiff path."""
     if engine == "optax":
         return _optax_fallback(fun, x0, args, max_iter, gtol, ftol,
                                memory_size, max_linesearch_steps)
 
     args = tuple(args)
 
-    def value(x):
-        if args:
-            return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, args)
-        return jax.vmap(fun)(x)
+    if value_fun is not None:
+        def value(x):
+            return value_fun(x, *args)
+    else:
+        def value(x):
+            if args:
+                return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, args)
+            return jax.vmap(fun)(x)
 
     def value_and_grad(x):
         if args:

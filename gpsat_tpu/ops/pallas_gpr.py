@@ -71,14 +71,24 @@ def _phi(kernel, r2, f32):
     raise NotImplementedError(kernel)
 
 
+# interpret-mode switch for CPU testing of the full wiring (tests set both
+# this and FORCE_SUPPORTED via monkeypatch)
+_INTERPRET = False
+_FORCE_SUPPORTED = False
+
+
 def pallas_value_supported(kernel, d, N=None):
     """Can the fused kernel handle this configuration on this platform?"""
+    if kernel not in _KERNELS or d > _MAX_D:
+        return False
+    if _FORCE_SUPPORTED:
+        return True
     try:
         if jax.devices()[0].platform == "cpu":
             return False
     except Exception:  # pragma: no cover
         return False
-    return kernel in _KERNELS and d <= _MAX_D
+    return True
 
 
 def _group_size(N):
@@ -230,13 +240,15 @@ def _nlml_value_call(xt, yt, p, *, kernel, d, interpret=False):
     return out[:, 0]
 
 
-def nlml_value_batched(params, X, y, maskf, kernel, jitter, interpret=False):
+def nlml_value_batched(params, X, y, maskf, kernel, jitter, interpret=None):
     """Batched NLML values via the fused kernel.
 
     params: dict of [B]-leading arrays (lengthscales [B, d], kernel_variance
     [B], likelihood_variance [B]); X [B, N, D]; y [B, N]; maskf [B, N] float.
     Returns [B] f32 values equal to ops.gpr.nlml per expert (f32 tolerance).
     """
+    if interpret is None:
+        interpret = _INTERPRET
     B, N, D = X.shape
     f32 = jnp.float32
     N_pad = int(-(-N // _T) * _T)

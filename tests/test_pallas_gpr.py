@@ -64,3 +64,45 @@ def test_pallas_value_non_pd_is_nan():
         params, X, y, mask.astype(float), "Matern32", 0.0, interpret=True))
     assert np.isnan(got[0])
     assert np.isfinite(got[1:]).all()
+
+
+def test_lbfgs_pallas_linesearch_wiring(monkeypatch):
+    """Full engine fit with the Pallas value path forced on (interpret mode):
+    optimised hyperparameters must match the pure-XLA run."""
+    from gpsat_tpu.models.batched import BatchedGPR
+    from gpsat_tpu.ops import pallas_gpr
+
+    B, N, D = 3, 96, 2
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-3, 3, (B, N, D))
+    y = np.sin(X[..., 0]) + 0.1 * rng.standard_normal((B, N))
+    y = y - y.mean(axis=1, keepdims=True)
+    mask = np.ones((B, N), dtype=bool)
+    mask[0, 80:] = False
+    Xs = np.tile(np.linspace(-2, 2, 5)[None, :, None], (B, 1, D))
+
+    def run():
+        eng = BatchedGPR(coords_dim=D, kernel="Matern32",
+                         optim_kwargs={"max_iter": 150},
+                         dtype=jnp.float32, jitter=1e-6)
+        return eng.fit_predict(X, y, mask, Xs=Xs, optimise=True, predict=True)
+
+    base = run()
+    monkeypatch.setattr(pallas_gpr, "_FORCE_SUPPORTED", True)
+    monkeypatch.setattr(pallas_gpr, "_INTERPRET", True)
+    # fresh program: the outer jit caches by static args only, so clear it
+    from gpsat_tpu.models import batched as batched_mod
+    batched_mod._gpr_fit_predict.clear_cache()
+    got = run()
+    batched_mod._gpr_fit_predict.clear_cache()
+
+    assert got["converged"].all()
+    # trial-step acceptance may differ slightly (different f32 rounding), so
+    # optima can land on nearby points — but never meaningfully worse
+    assert (got["objective"] <= base["objective"]
+            + 1e-3 * np.abs(base["objective"]) + 1e-3).all(), \
+        (got["objective"], base["objective"])
+    np.testing.assert_allclose(got["objective"], base["objective"],
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(got["preds"]["f*"], base["preds"]["f*"],
+                               rtol=5e-2, atol=5e-3)
