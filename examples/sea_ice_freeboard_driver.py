@@ -1,14 +1,20 @@
-"""Production-style sea-ice driver: SGPR experts + ice-edge anchoring.
+"""Production-style sea-ice driver: SGPR experts + ice-edge anchoring +
+optional secondary-instrument fusion.
 
-A compact equivalent of the akpetty fork's production flow
+A compact equivalent of the akpetty fork's production flows
 (reference: IS2_GPSat_train.py — read along-track + sea-ice-concentration
 data, build an expert grid, anchor the field at the ice edge by injecting
 zero-value pseudo-observations where SIC < sic_cutoff
 (reference: extra_funcs.py:149-195, concat at IS2_GPSat_train.py:782-786),
-run SGPR OI, smooth hyperparameters, re-predict, merge, export).
+run SGPR OI, smooth hyperparameters, re-predict, merge, export) and
+(reference: IS2_SMAP_GPSat_train.py — fuse a second instrument's gridded
+thin-ice thickness into the training set: value-range filter, coarsen,
+region exclusion, concat with a source label; load_smap_data_for_date at
+142-350, concat at 1441-1515).
 
 Runs on synthetic data so it is self-contained:
   python -m examples.sea_ice_freeboard_driver [--num-experts N] [--sic]
+      [--plus-secondary] [--secondary-csv FILE]
 """
 
 import argparse
@@ -59,6 +65,48 @@ def add_sic_pseudo_obs(bin_df, sic_cutoff=0.15, spacing=100 * KM,
     return pd.concat([bin_df, pseudo], axis=0).reset_index(drop=True)
 
 
+def synth_secondary_instrument(n_side=40, seed=1, domain=1200 * KM,
+                               noise=0.12):
+    """Synthetic coarse passive-microwave product: gridded thin-ice thickness,
+    only valid where the field is thin (the stand-in for SMAP/SMOS thickness,
+    which saturates above ~0.5 m — reference: IS2_SMAP_GPSat_train.py:232)."""
+    rng = np.random.default_rng(seed)
+    ax = np.linspace(-domain, domain, n_side)
+    gx, gy = np.meshgrid(ax, ax)
+    x, y = gx.ravel(), gy.ravel()
+    r = np.hypot(x, y)
+    sic = np.clip(1.4 - r / (900 * KM), 0, 1)
+    thickness = np.maximum(2.0 * (1 - (r / (900 * KM)) ** 2), 0.0) \
+        + 0.3 * np.sin(x / (250 * KM)) * (sic > 0.15)
+    obs = thickness + noise * rng.standard_normal(len(x))
+    return pd.DataFrame({"x": x, "y": y, "t": 0.0, "z": obs})
+
+
+def fuse_secondary_obs(primary_df, secondary_df, value_range=(0.0, 0.5),
+                       coarsen_factor=1, day_only=None, exclude_fn=None):
+    """Merge a secondary instrument's observations into the training set
+    (reference mechanics: IS2_SMAP_GPSat_train.py — thickness-range filter at
+    232-242, coarsening at 245-251, region exclusion at 312-319, prediction-
+    day-only filter at 405-413, concat with the along-track data at
+    1441-1515). Returns the combined DataFrame with a 'source' label."""
+    sec = secondary_df.copy()
+    lo, hi = value_range
+    sec = sec[(sec["z"] >= lo) & (sec["z"] <= hi)]
+    if coarsen_factor and coarsen_factor > 1:
+        sec = sec.iloc[::coarsen_factor]
+    if day_only is not None:
+        sec = sec[sec["t"] == day_only]
+    if exclude_fn is not None:
+        sec = sec[~exclude_fn(sec)]
+    sec = sec.dropna(subset=["z"]).reset_index(drop=True)
+    cprint(f"fusing {len(sec)} secondary-instrument obs "
+           f"(value range [{lo}, {hi}], coarsen {coarsen_factor})", "OKCYAN")
+    out = pd.concat([primary_df.assign(source="primary"),
+                     sec.assign(source="secondary")],
+                    axis=0, ignore_index=True)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-experts", type=int, default=None,
@@ -66,6 +114,18 @@ def main(argv=None):
     ap.add_argument("--sic", action="store_true", default=True,
                     help="inject SIC ice-edge pseudo observations")
     ap.add_argument("--no-sic", dest="sic", action="store_false")
+    ap.add_argument("--plus-secondary", action="store_true",
+                    help="fuse a secondary instrument (SMAP-style thin-ice "
+                         "thickness) into the training set")
+    ap.add_argument("--secondary-csv", default=None,
+                    help="CSV with x,y,t,z columns for the secondary "
+                         "instrument (synthetic if omitted)")
+    ap.add_argument("--secondary-range", type=float, nargs=2,
+                    default=(0.0, 0.5),
+                    help="valid value range for secondary obs")
+    ap.add_argument("--secondary-coarsen", type=int, default=1)
+    ap.add_argument("--secondary-day-only", action="store_true",
+                    help="only fuse secondary obs at the target day (t==0)")
     ap.add_argument("--expert-spacing", type=float, default=400 * KM)
     ap.add_argument("--store", default=None)
     args = ap.parse_args(argv)
@@ -77,6 +137,13 @@ def main(argv=None):
         y_range=[-1200 * KM, 1200 * KM]).to_dataframe().dropna().reset_index()
     if args.sic:
         bin_df = add_sic_pseudo_obs(bin_df)
+    if args.plus_secondary:
+        sec = pd.read_csv(args.secondary_csv) if args.secondary_csv \
+            else synth_secondary_instrument()
+        bin_df = fuse_secondary_obs(
+            bin_df, sec, value_range=tuple(args.secondary_range),
+            coarsen_factor=args.secondary_coarsen,
+            day_only=0.0 if args.secondary_day_only else None)
 
     eloc = pd.DataFrame(grid_2d_flatten([-1000 * KM, 1000 * KM],
                                         [-1000 * KM, 1000 * KM],

@@ -302,3 +302,26 @@ def test_make_buckets_multiple_of():
     buckets = make_buckets(np.full(10, 20), np.zeros(10, int), multiple_of=8)
     for b in buckets:
         assert b["batch_pad"] % 8 == 0
+
+
+def test_fuse_secondary_obs():
+    """SMAP-style fusion mechanics (reference: IS2_SMAP_GPSat_train.py
+    232-251, 1441-1515): range filter, coarsen, day filter, source labels."""
+    import pandas as pd
+    from examples.sea_ice_freeboard_driver import fuse_secondary_obs
+    prim = pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 1.0],
+                         "t": [0.0, 0.0], "z": [1.0, 2.0]})
+    sec = pd.DataFrame({"x": np.arange(8.0), "y": np.zeros(8),
+                        "t": [0.0] * 4 + [1.0] * 4,
+                        "z": [0.1, 0.4, 0.9, -0.2, 0.2, 0.3, 0.45, 0.05]})
+    out = fuse_secondary_obs(prim, sec, value_range=(0.0, 0.5))
+    assert (out["source"] == "secondary").sum() == 6      # 0.9, -0.2 dropped
+    assert (out["source"] == "primary").sum() == 2
+    out2 = fuse_secondary_obs(prim, sec, value_range=(0.0, 0.5), day_only=0.0)
+    assert (out2["source"] == "secondary").sum() == 2     # t==0 and in range
+    out3 = fuse_secondary_obs(prim, sec, value_range=(-1.0, 1.0),
+                              coarsen_factor=2)
+    assert (out3["source"] == "secondary").sum() == 4
+    out4 = fuse_secondary_obs(prim, sec, value_range=(-1.0, 1.0),
+                              exclude_fn=lambda d: d["x"] > 3)
+    assert (out4["source"] == "secondary").sum() == 4
