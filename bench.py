@@ -164,16 +164,13 @@ def main(model="gpr"):
         B = min(E, max(1, 2**25 // max(m_eff * N, 1)))
 
     def sweep():
-        convs, finite = [], True
-        for s in range(0, E, B):
-            e = min(s + B, E)
-            if model == "vff":
-                engine._expert_locs_scaled = np.zeros((e - s, D))
-            out = engine.fit_predict(Xd[s:e], yd[s:e], md[s:e], Xs=Xsd[s:e],
-                                     optimise=True, predict=True)
-            convs.append(out["converged"])
-            finite &= bool(np.isfinite(out["preds"]["f*"]).all())
-        return np.concatenate(convs), finite
+        # exact GPR runs the segmented pool (slot refill, no batch waiting on
+        # its slowest expert); other engines fall back to chunked sweeps
+        if model == "vff":
+            engine._expert_locs_scaled = np.zeros((E, D))
+        out = engine.fit_predict_many(Xd, yd, md, Xs=Xsd, optimise=True,
+                                      predict=True, slots=B)
+        return out["converged"], bool(np.isfinite(out["preds"]["f*"]).all())
 
     # warm-up / compile on the same shapes
     sweep()

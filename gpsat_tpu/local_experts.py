@@ -409,9 +409,16 @@ class LocalExpertOI:
         # -- phase 3: bucket + execute ------------------------------------
         n_dev = len(jax.devices())
         mesh = get_mesh() if (use_mesh and n_dev > 1) else None
+        # single-device sweeps hand each padded (N, P) level to the engine
+        # whole: fit_predict_many pools/chunks internally at canonical slot
+        # shapes (the segmented pool keeps slots busy instead of letting a
+        # batch wait on its slowest expert's L-BFGS)
+        pool = mesh is None and hasattr(engine, "fit_predict_many")
+        level_bs = batch_size if batch_size is not None else \
+            (max(len(run_ids), 1) if pool else None)
         buckets = make_buckets(n_obs[run_ids],
                                n_pred[run_ids] if predict else np.zeros(len(run_ids), int),
-                               batch_size=batch_size,
+                               batch_size=level_bs,
                                multiple_of=n_dev if mesh is not None else 1)
         if verbose:
             cprint(f"{len(run_ids)} experts in {len(buckets)} buckets "
@@ -463,8 +470,15 @@ class LocalExpertOI:
             el_scaled[:len(ids)] = xprt_locs.loc[ids, coords_col].values / coords_scale
             engine._expert_locs_scaled = el_scaled
 
-            result = engine.fit_predict(X, y, mask, Xs=Xs, optimise=optimise,
-                                        predict=predict, param_overrides=ov)
+            if pool:
+                result = engine.fit_predict_many(
+                    X, y, mask, Xs=Xs, optimise=optimise, predict=predict,
+                    param_overrides=ov)
+            else:
+                result = engine.fit_predict(X, y, mask, Xs=Xs,
+                                            optimise=optimise,
+                                            predict=predict,
+                                            param_overrides=ov)
             bucket_time = time.perf_counter() - t0
             per_expert_time = bucket_time / max(len(ids), 1)
             total_experts_done += len(ids)

@@ -15,7 +15,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gpsat_tpu.models.exact_gpr import make_gpr_objective, move_within_bounds
+from gpsat_tpu.models.exact_gpr import (make_gpr_objective,
+                                        make_gpr_value_fun,
+                                        move_within_bounds)
 from gpsat_tpu.ops import gpr_math
 from gpsat_tpu.ops.lbfgs import _batched_lbfgs_jit
 from gpsat_tpu.ops.packing import pack, unpack
@@ -39,20 +41,9 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
         # path at [69,400,400] f32 on v5e). value_and_grad stays on the
         # analytic-adjoint XLA path, so accepted iterates and convergence
         # checks see one consistent objective.
-        from gpsat_tpu.ops.pallas_gpr import (nlml_value_batched,
-                                              pallas_value_supported)
-        value_fun = None
-        if pallas_value_supported(kernel, d):
-            def value_fun(u, X, y, mask, bijectors, fixed):
-                def to_params(ui, bi, fi):
-                    free = unpack(ui, spec)
-                    params = dict(fi)
-                    for n in free_names:
-                        params[n] = bi[n].forward(free[n])
-                    return params
-                params = jax.vmap(to_params)(u, bijectors, fixed)
-                return nlml_value_batched(params, X, y, mask.astype(X.dtype),
-                                          kernel, 0.0)
+        from gpsat_tpu.ops.pallas_gpr import pallas_value_supported
+        value_fun = make_gpr_value_fun(kernel, free_names, d) \
+            if pallas_value_supported(kernel, d) else None
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
             ftol, 10, 12, "custom", value_fun=value_fun)
@@ -317,6 +308,182 @@ class BatchedGPR:
             "converged": np.asarray(conv),
             "iterations": np.asarray(iters),
             "preds": {k: np.asarray(v) for k, v in preds.items()},
+        }
+
+    # -- pooled multi-chunk execution ---------------------------------------
+
+    def _chunked_fit_predict(self, X, y, mask, Xs, optimise, predict,
+                             param_overrides, B):
+        """Generic fallback: sequential fit_predict over B-sized chunks."""
+        E = X.shape[0]
+        outs = []
+        el_all = self._expert_locs_scaled
+        for s in range(0, E, B):
+            e = min(s + B, E)
+            if el_all is not None:
+                self._expert_locs_scaled = el_all[s:e]
+            ov = None if param_overrides is None else \
+                {k: v[s:e] for k, v in param_overrides.items()}
+            outs.append(self.fit_predict(X[s:e], y[s:e], mask[s:e],
+                                         Xs=None if Xs is None else Xs[s:e],
+                                         optimise=optimise, predict=predict,
+                                         param_overrides=ov))
+        self._expert_locs_scaled = el_all
+        cat = lambda key: np.concatenate([o[key] for o in outs], axis=0)
+        return {
+            "params": {k: np.concatenate([o["params"][k] for o in outs])
+                       for k in outs[0]["params"]},
+            "objective": cat("objective"),
+            "converged": cat("converged"),
+            "iterations": cat("iterations"),
+            "preds": {k: np.concatenate([o["preds"][k] for o in outs])
+                      for k in outs[0]["preds"]},
+        }
+
+    def _pool_optimize(self, init, X, y, mask, slots, seg_iters):
+        """Segmented pooled L-BFGS over E same-shape experts (see
+        ops/lbfgs.batched_lbfgs_pool). Returns (u [E,P], f, conv, iters)."""
+        from gpsat_tpu.ops.lbfgs import batched_lbfgs_pool
+        from gpsat_tpu.ops.pallas_gpr import pallas_value_supported
+        from gpsat_tpu.ops.packing import ParamSpec
+
+        E = X.shape[0]
+        free = {n: jnp.asarray(init[n], dtype=self.dtype)
+                for n in self.free_names}
+        fixed = {n: jnp.asarray(init[n], dtype=self.dtype)
+                 for n in self.HYPER_NAMES if n not in self.free_names}
+        bij = {n: self.bijectors[n] for n in self.free_names}
+        spec = ParamSpec([(n, self.param_shape(n)) for n in self.free_names])
+        u0 = jax.vmap(lambda fr: pack({n: bij[n].inverse(fr[n])
+                                       for n in self.free_names}, spec))(free)
+        u0 = np.asarray(u0.astype(self.dtype))
+        bij_b = jax.tree.map(
+            lambda a: np.broadcast_to(np.asarray(a, dtype=self.dtype),
+                                      (E,) + np.asarray(a).shape), bij)
+        objective, _ = make_gpr_objective(self.kernel, self.free_names, self.d)
+        value_fun = make_gpr_value_fun(self.kernel, self.free_names, self.d) \
+            if pallas_value_supported(self.kernel, self.d) else None
+        res = batched_lbfgs_pool(
+            objective, u0,
+            (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
+             np.asarray(mask), bij_b, fixed),
+            slots=slots, seg_iters=seg_iters, max_iter=self.max_iter,
+            gtol=self.gtol, ftol=self.ftol, value_fun=value_fun)
+        return (np.asarray(res.x), np.asarray(res.fun),
+                np.asarray(res.converged), np.asarray(res.iterations))
+
+    def _constrained_np(self, u):
+        """[E, P] unconstrained -> parameter dict of numpy arrays."""
+        from gpsat_tpu.ops.packing import ParamSpec
+        spec = ParamSpec([(n, self.param_shape(n)) for n in self.free_names])
+        free = jax.vmap(lambda ui: unpack(ui, spec))(jnp.asarray(u))
+        return {n: np.asarray(self.bijectors[n].forward(free[n]))
+                for n in self.free_names}
+
+    def fit_predict_many(self, X, y, mask, Xs=None, optimise=True,
+                         predict=True, param_overrides=None, slots=None,
+                         seg_iters=8):
+        """Sweep E same-padded-shape experts.
+
+        For the exact-GPR engine with optimisation on, runs the segmented
+        *pool*: L-BFGS in `seg_iters`-iteration slices over a fixed
+        `slots`-wide batch, harvesting converged experts and refilling their
+        slots between slices — the batch never waits for its slowest expert
+        (measured iteration skew median 20 / max ~45 -> 1.85x ideal), and
+        only two optimiser program shapes compile regardless of E. Other
+        engines / configs fall back to chunked fit_predict.
+        """
+        from gpsat_tpu.parallel.scheduler import auto_batch_size
+        E, N = X.shape[0], X.shape[1]
+        P = 0 if Xs is None else Xs.shape[1]
+        B = int(slots or min(E, auto_batch_size(N, P)))
+        if (type(self) is not BatchedGPR or not optimise
+                or not self.free_names or E <= B):
+            return self._chunked_fit_predict(X, y, mask, Xs, optimise,
+                                             predict, param_overrides, B)
+
+        mask_np = np.asarray(mask)
+        y_np = np.asarray(y)
+        cnt = np.maximum(mask_np.sum(axis=1), 1)
+        y_mean = (y_np * mask_np).sum(axis=1) / cnt
+        y_var = ((y_np - y_mean[:, None]) ** 2 * mask_np).sum(axis=1) / cnt
+
+        init = self._initial_params_batch(E, param_overrides, y_var=y_var,
+                                          clamp=True)
+        u, fval, conv, iters = self._pool_optimize(init, X, y, mask_np, B,
+                                                   seg_iters)
+
+        # collapse-restart (same policy as fit_predict) on the failed subset,
+        # padded to the slot width so no new program shape compiles
+        params = self._constrained_np(u)
+        kv = params.get("kernel_variance", np.ones(E))
+        kv_eff = kv.reshape(E, -1).prod(axis=1)
+        active = mask_np.any(axis=1)
+        collapsed = active & ((kv_eff < np.maximum(1e-4 * y_var, 1e-12)) |
+                              ~np.isfinite(fval))
+        if collapsed.any():
+            ids = np.flatnonzero(collapsed)
+            pad_ids = np.concatenate(
+                [ids, np.full(max(B - len(ids), 0), ids[-1])])[:max(B, len(ids))]
+            alt = self._initial_params_batch(E, param_overrides, y_var=y_var,
+                                             scale=3.0)
+            alt_rows = {k: np.asarray(v)[pad_ids] for k, v in alt.items()}
+            u2, f2, c2, i2 = self._pool_optimize(
+                alt_rows, np.asarray(X)[pad_ids], y_np[pad_ids],
+                mask_np[pad_ids], B, seg_iters)
+            take = np.zeros(E, bool)
+            for row, ei in enumerate(ids):
+                if np.isfinite(f2[row]) and f2[row] < fval[ei]:
+                    u[ei] = u2[row]
+                    fval[ei] = f2[row]
+                    conv[ei] = c2[row]
+                    iters[ei] = i2[row]
+                    take[ei] = True
+            if take.any():
+                params = self._constrained_np(u)
+
+        # predictions + fixed-param fill via the existing (optimise=False)
+        # program in slot-shaped chunks
+        out_params = {n: np.empty((E,) + self.param_shape(n)) for n in
+                      self.HYPER_NAMES}
+        preds_out = None
+        do_predict = predict and Xs is not None
+        bij_chunk = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
+                                       (B,) + jnp.asarray(a).shape),
+            {n: self.bijectors[n] for n in self.free_names})
+        X_np = np.asarray(X)
+        Xs_np = None if Xs is None else np.asarray(Xs)
+        for s in range(0, E, B):
+            ids = np.arange(s, min(s + B, E))
+            pad = np.concatenate([ids, np.full(B - len(ids), ids[-1])]) \
+                if len(ids) < B else ids
+            Xs_in = jnp.zeros((B, 1, self.d), dtype=self.dtype) if Xs is None \
+                else jnp.asarray(Xs_np[pad], dtype=self.dtype)
+            fixed_chunk = {n: jnp.asarray(np.asarray(init[n])[pad],
+                                          dtype=self.dtype)
+                           for n in self.HYPER_NAMES
+                           if n not in self.free_names}
+            p_chunk, _, _, _, pr = self._call_program(
+                jnp.asarray(u[pad], dtype=self.dtype),
+                jnp.asarray(X_np[pad], dtype=self.dtype),
+                jnp.asarray(y_np[pad], dtype=self.dtype), mask_np[pad],
+                Xs_in, bij_chunk, fixed_chunk, False, do_predict)
+            for n in self.HYPER_NAMES:
+                out_params[n][ids] = np.asarray(p_chunk[n])[:len(ids)]
+            if do_predict:
+                if preds_out is None:
+                    preds_out = {k: np.empty((E,) + np.asarray(v).shape[1:])
+                                 for k, v in pr.items()}
+                for k, v in pr.items():
+                    preds_out[k][ids] = np.asarray(v)[:len(ids)]
+
+        return {
+            "params": out_params,
+            "objective": fval,
+            "converged": conv,
+            "iterations": iters,
+            "preds": preds_out or {},
         }
 
 

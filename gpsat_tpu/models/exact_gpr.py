@@ -57,6 +57,29 @@ def make_gpr_objective(kernel, free_names, d):
     return objective, spec
 
 
+@lru_cache(maxsize=None)
+def make_gpr_value_fun(kernel, free_names, d):
+    """Batch-level value-only objective through the fused Pallas NLML kernel
+    (ops/pallas_gpr.py); used for L-BFGS linesearch trial evaluations.
+    Cached so repeated host-level jit calls (the pooled path) see one stable
+    callable and never retrace."""
+    _, spec = make_gpr_objective(kernel, free_names, d)
+    from gpsat_tpu.ops.pallas_gpr import nlml_value_batched
+
+    def value_fun(u, X, y, mask, bijectors, fixed):
+        def to_params(ui, bi, fi):
+            free = unpack(ui, spec)
+            params = dict(fi)
+            for n in free_names:
+                params[n] = bi[n].forward(free[n])
+            return params
+        params = jax.vmap(to_params)(u, bijectors, fixed)
+        return nlml_value_batched(params, X, y, mask.astype(X.dtype),
+                                  kernel, 0.0)
+
+    return value_fun
+
+
 def _tree_add_batch_dim(tree):
     return jax.tree.map(lambda a: jnp.asarray(a)[None], tree)
 

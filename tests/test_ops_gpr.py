@@ -257,3 +257,53 @@ def test_lbfgs_rosenbrock():
     x0 = jnp.tile(jnp.array([-1.2, 1.0, 0.5]), (2, 1))
     out = batched_lbfgs(_rosen, x0, args=(), max_iter=500)
     np.testing.assert_allclose(np.asarray(out.x), 1.0, atol=1e-5)
+
+
+def test_pooled_lbfgs_matches_one_shot():
+    """Segmented pool with slot refill must reproduce the one-shot batched
+    fit: per-iteration math is identical (shared ring pointer is safe because
+    refilled slots carry zeroed curvature history)."""
+    from gpsat_tpu.models.batched import BatchedGPR
+
+    E, N, D = 10, 48, 2
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-3, 3, (E, N, D))
+    y = np.sin(X[..., 0]) + 0.1 * rng.standard_normal((E, N))
+    y = y - y.mean(axis=1, keepdims=True)
+    mask = np.ones((E, N), dtype=bool)
+    mask[1, 40:] = False
+    Xs = np.tile(np.linspace(-2, 2, 4)[None, :, None], (E, 1, D))
+
+    eng = BatchedGPR(coords_dim=D, kernel="Matern32",
+                     optim_kwargs={"max_iter": 200})
+    base = eng.fit_predict(X, y, mask, Xs=Xs, optimise=True, predict=True)
+    pooled = eng.fit_predict_many(X, y, mask, Xs=Xs, optimise=True,
+                                  predict=True, slots=4, seg_iters=3)
+    np.testing.assert_array_equal(pooled["converged"], base["converged"])
+    np.testing.assert_allclose(pooled["objective"], base["objective"],
+                               rtol=1e-8, atol=1e-8)
+    for k in base["params"]:
+        np.testing.assert_allclose(pooled["params"][k], base["params"][k],
+                                   rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(pooled["preds"]["f*"], base["preds"]["f*"],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(pooled["iterations"], base["iterations"])
+
+
+def test_fit_predict_many_chunked_fallback():
+    """Engines/configs without pool support fall back to chunked sweeps with
+    identical results."""
+    from gpsat_tpu.models.batched import BatchedGPR
+
+    E, N, D = 6, 32, 1
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-2, 2, (E, N, D))
+    y = np.sin(2 * X[..., 0]) + 0.05 * rng.standard_normal((E, N))
+    mask = np.ones((E, N), dtype=bool)
+    eng = BatchedGPR(coords_dim=D, kernel="Matern32",
+                     optim_kwargs={"max_iter": 100})
+    base = eng.fit_predict(X, y, mask, Xs=None, optimise=False, predict=False)
+    out = eng.fit_predict_many(X, y, mask, Xs=None, optimise=False,
+                               predict=False, slots=4)
+    np.testing.assert_allclose(out["objective"], base["objective"],
+                               rtol=1e-10)
