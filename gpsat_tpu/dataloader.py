@@ -399,6 +399,55 @@ class DataLoader:
     # expert-location generation
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def get_masks_for_expert_loc(ref_data, el_masks=None, obs_col=None,
+                                 dims=None, reduce_dims=("date", "t")):
+        """Build expert-location masks from a reference dataset
+        (reference: GPSat/dataloader.py:2716; there the reference data is an
+        xarray object — here it is a long-format DataFrame, the repo's native
+        gridded representation).
+
+        el_masks entries:
+        - "had_obs": keep cells where `obs_col` has any non-NaN value across
+          the reduce dimensions (reference reduces over 'date').
+        - {"grid_space": g, "dims": [...]}: keep a regular coarse subgrid of
+          the unique per-dim coordinate values (utils.sparse_true_array).
+        - any other dict: passed through untouched (a row-select where-dict
+          consumed directly by generate_local_expert_locations).
+
+        Returns a list of masks; DataFrame masks hold the *allowed*
+        coordinate combinations (semi-join semantics).
+        """
+        from gpsat_tpu.utils import sparse_true_array
+        masks = []
+        for m in el_masks or []:
+            if isinstance(m, str):
+                if m == "had_obs":
+                    assert obs_col is not None, "had_obs mask needs obs_col"
+                    cell_dims = dims or [c for c in ref_data.columns
+                                         if c != obs_col
+                                         and c not in reduce_dims]
+                    had = (ref_data.groupby(cell_dims)[obs_col]
+                           .apply(lambda s: s.notna().any()))
+                    masks.append(had[had].index.to_frame(index=False))
+                else:
+                    cprint(f"mask: {m} not understood", "FAIL")
+            elif isinstance(m, dict) and "grid_space" in m:
+                mdims = m["dims"] if isinstance(m["dims"], list) else [m["dims"]]
+                coord_vals = [np.unique(np.asarray(ref_data[d2]))
+                              for d2 in mdims]
+                keep = sparse_true_array(
+                    tuple(len(v) for v in coord_vals),
+                    grid_space=int(m["grid_space"]))
+                mesh = np.meshgrid(*coord_vals, indexing="ij")
+                masks.append(pd.DataFrame(
+                    {d2: mm[keep] for d2, mm in zip(mdims, mesh)}))
+            elif isinstance(m, dict):
+                masks.append(m)
+            else:
+                cprint(f"mask: {m} not understood", "FAIL")
+        return masks
+
     @classmethod
     def generate_local_expert_locations(cls, loc_dims, ref_data=None,
                                         format_type=None, masks=None,
@@ -420,7 +469,19 @@ class DataLoader:
             masks = masks if isinstance(masks, list) else [masks]
             keep = np.ones(len(df), dtype=bool)
             for m in masks:
-                keep &= cls._bool_numpy_from_where(df, m)
+                if isinstance(m, pd.DataFrame):
+                    # allowed-coordinate mask (get_masks_for_expert_loc):
+                    # semi-join on the shared columns
+                    cols = [c for c in m.columns if c in df.columns]
+                    assert cols, \
+                        f"mask DataFrame shares no columns with locations " \
+                        f"({list(m.columns)} vs {list(df.columns)})"
+                    key = pd.MultiIndex.from_frame(df[cols])
+                    allowed = pd.MultiIndex.from_frame(
+                        m[cols].drop_duplicates())
+                    keep &= key.isin(allowed)
+                else:
+                    keep &= cls._bool_numpy_from_where(df, m)
             df = df.loc[keep]
         if keep_cols:
             df = df.loc[:, keep_cols]

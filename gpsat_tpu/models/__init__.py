@@ -12,6 +12,7 @@ from gpsat_tpu.models.base import BaseGPRModel  # noqa: F401
 def get_model(name):
     """Map a model name string to a model class."""
     from gpsat_tpu.models.exact_gpr import GPRModel
+    from gpsat_tpu.models.kiss_gpr import KISSGPModel
     from gpsat_tpu.models.sgpr import SGPRModel
     from gpsat_tpu.models.svgp import SVGPModel
     from gpsat_tpu.models.vff import VFFModel
@@ -21,6 +22,7 @@ def get_model(name):
 
     registry = {
         "GPRModel": GPRModel,
+        "KISSGPModel": KISSGPModel,
         "SGPRModel": SGPRModel,
         "SVGPModel": SVGPModel,
         "VFFModel": VFFModel,
@@ -39,6 +41,7 @@ def get_model(name):
         "PurePythonGPR": GPRModel,
         "sklearnGPRModel": GPRModel,
         "GPyTorchGPRModel": GPRModel,
+        "GPyTorchKISSGPModel": KISSGPModel,
     }
     if name not in registry:
         raise NotImplementedError(

@@ -9,7 +9,7 @@ masked batched posterior evaluation; buckets shard over the device mesh on the
 experts axis.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -330,7 +330,7 @@ class BatchedGPR:
                                          param_overrides=ov))
         self._expert_locs_scaled = el_all
         cat = lambda key: np.concatenate([o[key] for o in outs], axis=0)
-        return {
+        out = {
             "params": {k: np.concatenate([o["params"][k] for o in outs])
                        for k in outs[0]["params"]},
             "objective": cat("objective"),
@@ -339,12 +339,42 @@ class BatchedGPR:
             "preds": {k: np.concatenate([o["preds"][k] for o in outs])
                       for k in outs[0]["preds"]},
         }
+        for k in set(outs[0]) - set(out):   # engine extras (inducing_mask, …)
+            out[k] = cat(k)
+        return out
 
-    def _pool_optimize(self, init, X, y, mask, slots, seg_iters):
-        """Segmented pooled L-BFGS over E same-shape experts (see
+    # -- pool hooks (engines that support pooled L-BFGS override) -----------
+
+    def _pool_supported(self, optimise):
+        """Whether this engine can run the device-resident L-BFGS pool."""
+        return type(self) is BatchedGPR and optimise and bool(self.free_names)
+
+    def _pool_objective(self):
+        """(objective, value_fun) over (u, X, y, mask, *extra, bij, fixed)."""
+        from gpsat_tpu.ops.pallas_gpr import pallas_value_supported
+        objective, _ = make_gpr_objective(self.kernel, self.free_names,
+                                          self.d)
+        value_fun = make_gpr_value_fun(self.kernel, self.free_names, self.d) \
+            if pallas_value_supported(self.kernel, self.d) else None
+        return objective, value_fun
+
+    def _pool_extra_args(self, X, mask, param_overrides):
+        """Engine-specific per-expert arrays inserted between mask and the
+        bijectors in the objective args (e.g. SGPR inducing points)."""
+        return ()
+
+    def _pool_select_chunk(self, ids):
+        """Point per-expert engine state at rows `ids` before _call_program
+        in the prediction-fill loop (default: stateless)."""
+
+    def _pool_finalize(self, out):
+        """Engine-specific output decoration (e.g. objective sign flip)."""
+        return out
+
+    def _pool_optimize(self, init, X, y, mask, slots, extra=()):
+        """Pooled L-BFGS over E same-shape experts (see
         ops/lbfgs.batched_lbfgs_pool). Returns (u [E,P], f, conv, iters)."""
         from gpsat_tpu.ops.lbfgs import batched_lbfgs_pool
-        from gpsat_tpu.ops.pallas_gpr import pallas_value_supported
         from gpsat_tpu.ops.packing import ParamSpec
 
         E = X.shape[0]
@@ -360,14 +390,12 @@ class BatchedGPR:
         bij_b = jax.tree.map(
             lambda a: np.broadcast_to(np.asarray(a, dtype=self.dtype),
                                       (E,) + np.asarray(a).shape), bij)
-        objective, _ = make_gpr_objective(self.kernel, self.free_names, self.d)
-        value_fun = make_gpr_value_fun(self.kernel, self.free_names, self.d) \
-            if pallas_value_supported(self.kernel, self.d) else None
+        objective, value_fun = self._pool_objective()
         res = batched_lbfgs_pool(
             objective, u0,
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
-             np.asarray(mask), bij_b, fixed),
-            slots=slots, seg_iters=seg_iters, max_iter=self.max_iter,
+             np.asarray(mask)) + tuple(extra) + (bij_b, fixed),
+            slots=slots, max_iter=self.max_iter,
             gtol=self.gtol, ftol=self.ftol, value_fun=value_fun)
         return (np.asarray(res.x), np.asarray(res.fun),
                 np.asarray(res.converged), np.asarray(res.iterations))
@@ -381,24 +409,22 @@ class BatchedGPR:
                 for n in self.free_names}
 
     def fit_predict_many(self, X, y, mask, Xs=None, optimise=True,
-                         predict=True, param_overrides=None, slots=None,
-                         seg_iters=8):
+                         predict=True, param_overrides=None, slots=None):
         """Sweep E same-padded-shape experts.
 
-        For the exact-GPR engine with optimisation on, runs the segmented
-        *pool*: L-BFGS in `seg_iters`-iteration slices over a fixed
-        `slots`-wide batch, harvesting converged experts and refilling their
-        slots between slices — the batch never waits for its slowest expert
-        (measured iteration skew median 20 / max ~45 -> 1.85x ideal), and
-        only two optimiser program shapes compile regardless of E. Other
-        engines / configs fall back to chunked fit_predict.
+        Engines whose optimiser is L-BFGS (exact GPR; SGPR with fixed
+        inducing points) run the device-resident *pool*
+        (ops/lbfgs.batched_lbfgs_pool): a `slots`-wide batch whose slots
+        refill from the expert queue the moment they converge, so the batch
+        never waits for its slowest expert (measured iteration skew median
+        20 / max ~45 -> 1.85x ideal compaction). Other engines / configs
+        fall back to chunked fit_predict.
         """
         from gpsat_tpu.parallel.scheduler import auto_batch_size
         E, N = X.shape[0], X.shape[1]
         P = 0 if Xs is None else Xs.shape[1]
         B = int(slots or min(E, auto_batch_size(N, P)))
-        if (type(self) is not BatchedGPR or not optimise
-                or not self.free_names or E <= B):
+        if not self._pool_supported(optimise) or E <= B:
             return self._chunked_fit_predict(X, y, mask, Xs, optimise,
                                              predict, param_overrides, B)
 
@@ -408,10 +434,11 @@ class BatchedGPR:
         y_mean = (y_np * mask_np).sum(axis=1) / cnt
         y_var = ((y_np - y_mean[:, None]) ** 2 * mask_np).sum(axis=1) / cnt
 
+        extra = self._pool_extra_args(X, mask_np, param_overrides)
         init = self._initial_params_batch(E, param_overrides, y_var=y_var,
                                           clamp=True)
         u, fval, conv, iters = self._pool_optimize(init, X, y, mask_np, B,
-                                                   seg_iters)
+                                                   extra=extra)
 
         # collapse-restart (same policy as fit_predict) on the failed subset,
         # padded to the slot width so no new program shape compiles
@@ -430,7 +457,8 @@ class BatchedGPR:
             alt_rows = {k: np.asarray(v)[pad_ids] for k, v in alt.items()}
             u2, f2, c2, i2 = self._pool_optimize(
                 alt_rows, np.asarray(X)[pad_ids], y_np[pad_ids],
-                mask_np[pad_ids], B, seg_iters)
+                mask_np[pad_ids], B,
+                extra=tuple(np.asarray(a)[pad_ids] for a in extra))
             take = np.zeros(E, bool)
             for row, ei in enumerate(ids):
                 if np.isfinite(f2[row]) and f2[row] < fval[ei]:
@@ -464,6 +492,7 @@ class BatchedGPR:
                                           dtype=self.dtype)
                            for n in self.HYPER_NAMES
                            if n not in self.free_names}
+            self._pool_select_chunk(pad)
             p_chunk, _, _, _, pr = self._call_program(
                 jnp.asarray(u[pad], dtype=self.dtype),
                 jnp.asarray(X_np[pad], dtype=self.dtype),
@@ -478,18 +507,41 @@ class BatchedGPR:
                 for k, v in pr.items():
                     preds_out[k][ids] = np.asarray(v)[:len(ids)]
 
-        return {
+        return self._pool_finalize({
             "params": out_params,
             "objective": fval,
             "converged": conv,
             "iterations": iters,
             "preds": preds_out or {},
-        }
+        })
 
 
 # ---------------------------------------------------------------------------
 # SGPR (Titsias) batched engine
 # ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def make_sgpr_objective(kernel, free_names, d, jitter):
+    """Collapsed negative-ELBO objective over the flat unconstrained hyper
+    vector, fixed inducing points; args (X, y, mask, Z, zmask, bij, fixed).
+    lru_cache gives the pooled path one stable callable (no retraces)."""
+    from gpsat_tpu.ops import sgpr as sgpr_math
+    from gpsat_tpu.ops.packing import ParamSpec
+
+    shapes = {"lengthscales": (d,), "kernel_variance": (),
+              "likelihood_variance": ()}
+    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+
+    def objective(u, X, y, mask, Z, zmask, bijectors, fixed):
+        free = unpack(u, spec)
+        params = dict(fixed)
+        for n in free_names:
+            params[n] = bijectors[n].forward(free[n])
+        return sgpr_math.neg_elbo(params, X, y, mask, Z, zmask,
+                                  kernel=kernel, jitter=jitter)
+
+    return objective
+
 
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
                                    "do_predict", "max_iter", "gtol", "ftol",
@@ -681,6 +733,37 @@ class BatchedSGPR(BatchedGPR):
             jitter=self.jitter, train_z=train_z)
         self._Z_final = np.array(Z)
         return params, fval, conv, iters, preds
+
+    # -- pooled execution hooks ----------------------------------------------
+
+    def _pool_supported(self, optimise):
+        """Pooled L-BFGS with *fixed* inducing points (the reference default,
+        GPSat/models/gpflow_models.py:864 train_inducing_points=False);
+        trainable-Z runs fall back to chunked one-shot batches."""
+        return (type(self) is BatchedSGPR and optimise
+                and bool(self.free_names) and not self.train_inducing_points)
+
+    def _pool_objective(self):
+        return make_sgpr_objective(self.kernel, self.free_names, self.d,
+                                   self.jitter), None
+
+    def _pool_extra_args(self, X, mask, param_overrides):
+        self._Z, self._zmask = self._build_inducing(X, mask)
+        self._apply_inducing_override(param_overrides)
+        self._Z_all, self._zmask_all = self._Z, self._zmask
+        return (np.asarray(self._Z, dtype=self.dtype), self._zmask)
+
+    def _pool_select_chunk(self, ids):
+        self._Z = self._Z_all[ids]
+        self._zmask = self._zmask_all[ids]
+
+    def _pool_finalize(self, out):
+        self._Z, self._zmask = self._Z_all, self._zmask_all
+        out["objective"] = -out["objective"]   # stored objective = ELBO
+        out["params"]["inducing_points"] = \
+            self._Z_all * self._zmask_all[:, :, None]
+        out["inducing_mask"] = self._zmask_all
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -140,10 +140,13 @@ def _make_step(batched_value_and_grad, batched_value, B, P, dtype, max_iter,
         gamma = jnp.where(keep & (yy > 0), sy / jnp.maximum(yy, 1e-300), gamma)
 
         grad_small = jnp.max(jnp.abs(g_new), axis=-1) < gtol
-        # only treat f-stagnation as convergence on a full accepted step
+        # only treat f-stagnation as convergence on a full accepted step from
+        # a finite point (pool-refilled slots carry f=inf through their
+        # bootstrap pass: |inf - f0| <= ftol*inf would be vacuously true)
         full_step = t >= t_init - 1e-12
-        f_change = full_step & (jnp.abs(f - f_new) <= ftol * jnp.maximum(
-            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0))
+        f_change = full_step & jnp.isfinite(f) & (
+            jnp.abs(f - f_new) <= ftol * jnp.maximum(
+                jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0))
         fail = (~ls_ok) | ~jnp.isfinite(f_new)
         # first linesearch failure: reset that element's curvature history so
         # the next direction is steepest descent (the scipy recovery);
@@ -257,163 +260,132 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
 
 
 # ---------------------------------------------------------------------------
-# pooled (segmented) execution: run S iterations at a time over a fixed-size
-# slot batch, harvest converged experts between segments and refill the slots
-# from the remaining pool. The per-iteration math is identical to the one-
-# shot loop (same body); the win is that the batch no longer waits for its
-# slowest expert (measured iteration skew: median 20 / max ~45 per 69-expert
-# chunk -> ~1.85x ideal, tpu_stuff/iter_skew_probe.py). A shared scalar ring
-# pointer is safe across refills because refilled slots get zeroed history
-# (rho=0 rows are no-ops in the two-loop recursion).
+# device-resident pooled execution: one jitted while_loop over a fixed-width
+# slot batch whose slots are refilled from the expert queue the moment they
+# converge — the batch never waits for its slowest expert (measured iteration
+# skew: median 20 / max ~45 per 69-expert chunk -> ~1.85x ideal compaction,
+# tpu_stuff/iter_skew_probe.py). All E experts' data stays in HBM; args for
+# the active slots are gathered by expert index inside the objective calls,
+# results scatter into [E]-shaped outputs, and refills happen in a lax.cond
+# branch that only executes on iterations where something converged. Zero
+# host round-trips until the whole sweep finishes (a host-driven segmented
+# variant was measured and rejected: each segment boundary cost ~0.5 s of
+# tunnel latency, turning the 1.85x win into a 1.25x loss,
+# tpu_stuff/pool_ab.py). A shared scalar ring pointer is safe across refills
+# because refilled slots get zeroed history (rho=0 rows are no-ops in the
+# two-loop recursion).
 # ---------------------------------------------------------------------------
 
 
-def _builders(fun, args, value_fun):
-    def value_and_grad(x):
-        if args:
-            return jax.vmap(lambda xi, ai: jax.value_and_grad(
-                lambda u: fun(u, *ai))(xi))(x, args)
-        return jax.vmap(jax.value_and_grad(fun))(x)
-
-    if value_fun is not None:
-        def value(x):
-            return value_fun(x, *args)
-    else:
-        def value(x):
-            if args:
-                return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, args)
-            return jax.vmap(fun)(x)
-    return value_and_grad, value
-
-
-@partial(jax.jit, static_argnames=("fun", "gtol", "memory_size", "value_fun"))
-def _lbfgs_init_jit(fun, x0, args, gtol, memory_size, value_fun=None):
-    vg, _ = _builders(fun, tuple(args), value_fun)
-    return _init_carry(vg, x0, gtol, memory_size)
-
-
-@partial(jax.jit, static_argnames=("fun", "seg_iters", "max_iter", "gtol",
-                                   "ftol", "memory_size",
-                                   "max_linesearch_steps", "value_fun"))
-def _lbfgs_segment_jit(fun, carry, args, seg_iters, max_iter, gtol, ftol,
-                       memory_size, max_linesearch_steps, value_fun=None):
-    vg, value = _builders(fun, tuple(args), value_fun)
-    B, P = carry[1].shape
-    body = _make_step(vg, value, B, P, carry[1].dtype, max_iter, gtol, ftol,
-                      memory_size, max_linesearch_steps)
-
-    def cond(sc):
-        seg, carry = sc
-        return (seg < seg_iters) & jnp.any(~carry[8])
-
-    def seg_body(sc):
-        seg, carry = sc
-        return seg + 1, body(carry)
-
-    _, carry = jax.lax.while_loop(cond, seg_body,
-                                  (jnp.asarray(0, jnp.int32), carry))
-    return carry
-
-
-def batched_lbfgs_pool(fun, x0_all, args_all, slots, seg_iters=8,
-                       max_iter=500, gtol=1e-6, ftol=1e-11, memory_size=10,
-                       max_linesearch_steps=12, value_fun=None):
-    """Minimise `fun` for E independent problems through a `slots`-wide pool.
-
-    x0_all: [E, P]; args_all: pytree with [E, ...] leaves (host or device).
-    Returns LBFGSResult with [E]-shaped fields. Only two program shapes are
-    compiled (init + segment at batch `slots`) regardless of E — no
-    remainder-shape recompiles.
-    """
-    import numpy as np
-
+@partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
+                                   "memory_size", "max_linesearch_steps",
+                                   "value_fun"))
+def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
+                    memory_size, max_linesearch_steps, value_fun=None):
     E, P = x0_all.shape
-    x0_all = np.asarray(x0_all)
-    args_np = jax.tree.map(np.asarray, tuple(args_all))
+    B = slots
+    dtype = x0_all.dtype
+    m = memory_size
+
+    def gather(ids):
+        return jax.tree.map(lambda a: a[ids], args_all)
+
+    def vg_at(ids):
+        def vg(x):
+            return jax.vmap(lambda xi, ai: jax.value_and_grad(
+                lambda u: fun(u, *ai))(xi))(x, gather(ids))
+        return vg
+
+    def value_at(ids):
+        if value_fun is not None:
+            def value(x):
+                return value_fun(x, *gather(ids))
+        else:
+            def value(x):
+                return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, gather(ids))
+        return value
+
+    ids0 = jnp.arange(B)
+    carry0 = _init_carry(vg_at(ids0), x0_all[:B], gtol, m)
+    state0 = (carry0, ids0, jnp.asarray(B, jnp.int32), jnp.ones(B, bool),
+              x0_all, jnp.zeros(E, dtype), jnp.zeros(E, bool),
+              jnp.zeros(E, jnp.int32))
+
+    def cond(state):
+        return jnp.any(state[3])         # any live slot
+
+    def body(state):
+        carry, slot_expert, next_expert, live, ox, of, oc, oi = state
+        step = _make_step(vg_at(slot_expert), value_at(slot_expert), B, P,
+                          dtype, max_iter, gtol, ftol, m,
+                          max_linesearch_steps)
+        carry = step(carry)
+        harvest = carry[8] & live
+
+        def with_harvest(st):
+            carry, slot_expert, next_expert, live, ox, of, oc, oi = st
+            it, x, f, g, S, Y, rho, gamma, done, iters, fail = carry
+            idx = jnp.where(harvest, slot_expert, E)     # E rows are dropped
+            ox = ox.at[idx].set(x, mode="drop")
+            of = of.at[idx].set(f, mode="drop")
+            oc = oc.at[idx].set(iters < max_iter, mode="drop")
+            oi = oi.at[idx].set(iters, mode="drop")
+            # refill freed slots from the queue (prefix-sum assignment)
+            order = jnp.cumsum(harvest.astype(jnp.int32))
+            new_id = next_expert + order - 1
+            ok = harvest & (new_id < E)
+            slot_expert = jnp.where(ok, new_id, slot_expert)
+            live = (live & ~harvest) | ok
+            next_expert = jnp.minimum(next_expert + order[-1], E)
+            x = jnp.where(ok[:, None], x0_all[jnp.clip(new_id, 0, E - 1)], x)
+            S = jnp.where(ok[None, :, None], 0.0, S)
+            Y = jnp.where(ok[None, :, None], 0.0, Y)
+            rho = jnp.where(ok[None, :], 0.0, rho)
+            gamma = jnp.where(ok, jnp.ones_like(gamma), gamma)
+            # no objective eval here: refilled slots bootstrap through the
+            # NEXT regular iteration for free. With f=inf, g=0 the step body
+            # produces d=-g=0, the Armijo test accepts the unchanged point on
+            # its first trial (anything finite <= inf), and the iteration's
+            # ordinary value_and_grad delivers the fresh (f0, g0) — while
+            # every other slot advances normally in the same iteration.
+            # iters=-1 so the bootstrap pass doesn't count against the
+            # per-expert budget (keeps iteration counts identical to the
+            # one-shot loop). s=0 => sy=0 => no history write; f-stagnation
+            # can't trigger (|inf - f0| = inf > ftol).
+            f = jnp.where(ok, jnp.asarray(jnp.inf, dtype), f)
+            g = jnp.where(ok[:, None], 0.0, g)
+            iters = jnp.where(ok, -1, iters)
+            fail = jnp.where(ok, 0, fail)
+            done = jnp.where(ok, False, done)
+            carry = (it, x, f, g, S, Y, rho, gamma, done, iters, fail)
+            return carry, slot_expert, next_expert, live, ox, of, oc, oi
+
+        state = (carry, slot_expert, next_expert, live, ox, of, oc, oi)
+        return jax.lax.cond(jnp.any(harvest), with_harvest, lambda s: s,
+                            state)
+
+    state = jax.lax.while_loop(cond, body, state0)
+    return state[4], state[5], state[6], state[7]
+
+
+def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
+                       ftol=1e-11, memory_size=10, max_linesearch_steps=12,
+                       value_fun=None):
+    """Minimise `fun` for E independent problems through a `slots`-wide
+    device-resident pool (see block comment above).
+
+    x0_all: [E, P]; args_all: pytree with [E, ...] leaves. Returns
+    LBFGSResult with [E]-shaped fields. One program shape compiles per
+    (slots, E) pair; per-expert results are bitwise identical to the one-shot
+    batched loop.
+    """
+    E, P = x0_all.shape
     B = int(min(slots, E))
-
-    # initial f/g for every expert up-front (refills then copy host rows):
-    # E/B batched VG calls, padded to one shape
-    f0_all = np.empty(E, x0_all.dtype)
-    g0_all = np.empty((E, P), x0_all.dtype)
-    for s in range(0, E, B):
-        ids = np.arange(s, min(s + B, E))
-        pad = np.concatenate([ids, np.full(B - len(ids), ids[-1])]) \
-            if len(ids) < B else ids
-        c0 = _lbfgs_init_jit(fun, jnp.asarray(x0_all[pad]),
-                             jax.tree.map(lambda a: jnp.asarray(a[pad]),
-                                          args_np),
-                             gtol, memory_size, value_fun=value_fun)
-        f0_all[ids] = np.asarray(c0[2])[:len(ids)]
-        g0_all[ids] = np.asarray(c0[3])[:len(ids)]
-
-    out_x = x0_all.copy()
-    out_f = f0_all.copy()
-    out_conv = np.zeros(E, bool)
-    out_iters = np.zeros(E, np.int32)
-
-    slot_expert = np.arange(B)                       # expert id per slot
-    next_expert = B
-    active = np.ones(B, bool)                        # slot holds live work
-
-    def slot_args(ids):
-        return jax.tree.map(lambda a: jnp.asarray(a[ids]), args_np)
-
-    def fresh_rows(carry_np, idx, ids):
-        """Load experts `ids` into slots `idx` of a host-side carry."""
-        (it, x, f, g, S, Y, rho, gamma, done, iters, fail) = carry_np
-        x[idx] = x0_all[ids]
-        f[idx] = f0_all[ids]
-        g[idx] = g0_all[ids]
-        S[:, idx] = 0.0
-        Y[:, idx] = 0.0
-        rho[:, idx] = 0.0
-        gamma[idx] = 1.0
-        done[idx] = ~np.isfinite(f0_all[ids]) | (
-            np.max(np.abs(g0_all[ids]), axis=-1) < gtol)
-        iters[idx] = 0
-        fail[idx] = 0
-        return (it, x, f, g, S, Y, rho, gamma, done, iters, fail)
-
-    sa = slot_args(slot_expert)
-    carry = _lbfgs_init_jit(fun, jnp.asarray(x0_all[slot_expert]), sa,
-                            gtol, memory_size, value_fun=value_fun)
-
-    while True:
-        carry = _lbfgs_segment_jit(fun, carry, sa, seg_iters, max_iter, gtol,
-                                   ftol, memory_size, max_linesearch_steps,
-                                   value_fun=value_fun)
-        done = np.asarray(carry[8])
-        harvest = done & active
-        if harvest.any():
-            x_h = np.asarray(carry[1])
-            f_h = np.asarray(carry[2])
-            iters_h = np.asarray(carry[9])
-            ids = slot_expert[harvest]
-            out_x[ids] = x_h[harvest]
-            out_f[ids] = f_h[harvest]
-            out_conv[ids] = iters_h[harvest] < max_iter
-            out_iters[ids] = iters_h[harvest]
-            free_idx = np.flatnonzero(harvest)
-            n_new = min(len(free_idx), E - next_expert)
-            if n_new > 0:
-                fill_idx = free_idx[:n_new]
-                new_ids = np.arange(next_expert, next_expert + n_new)
-                next_expert += n_new
-                slot_expert[fill_idx] = new_ids
-                carry_np = [carry[0]] + [np.asarray(c).copy()
-                                         for c in carry[1:]]
-                carry = tuple([carry_np[0]] + [
-                    jnp.asarray(c) for c in fresh_rows(
-                        carry_np, fill_idx, new_ids)[1:]])
-                sa = slot_args(slot_expert)
-            active[free_idx[n_new:]] = False
-        if next_expert >= E and not (active & ~np.asarray(carry[8])).any():
-            break
-    return LBFGSResult(x=jnp.asarray(out_x), fun=jnp.asarray(out_f),
-                       converged=jnp.asarray(out_conv),
-                       iterations=jnp.asarray(out_iters))
-
+    x, f, conv, iters = _lbfgs_pool_jit(
+        fun, jnp.asarray(x0_all), jax.tree.map(jnp.asarray, tuple(args_all)),
+        B, max_iter, gtol, ftol, memory_size, max_linesearch_steps,
+        value_fun=value_fun)
+    return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters)
 
 
 # ---------------------------------------------------------------------------

@@ -278,7 +278,7 @@ def test_pooled_lbfgs_matches_one_shot():
                      optim_kwargs={"max_iter": 200})
     base = eng.fit_predict(X, y, mask, Xs=Xs, optimise=True, predict=True)
     pooled = eng.fit_predict_many(X, y, mask, Xs=Xs, optimise=True,
-                                  predict=True, slots=4, seg_iters=3)
+                                  predict=True, slots=4)
     np.testing.assert_array_equal(pooled["converged"], base["converged"])
     np.testing.assert_allclose(pooled["objective"], base["objective"],
                                rtol=1e-8, atol=1e-8)

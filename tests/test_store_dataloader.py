@@ -305,3 +305,54 @@ def test_bin_data_chunked_batch_mode(tmp_path, sample_df):
     with ResultsStore(str(tmp_path / "binned.h5"), "r") as s:
         assert s.nrows("data") == len(binned_batch)
         assert s.get_attr("data", "config") is not None
+
+
+def test_get_masks_for_expert_loc_had_obs():
+    """'had_obs' keeps only grid cells with any non-NaN obs across dates
+    (reference: GPSat/dataloader.py:2716-2791)."""
+    from gpsat_tpu.dataloader import DataLoader
+    xs, ys = np.meshgrid([0.0, 1.0, 2.0], [10.0, 20.0], indexing="ij")
+    ref = pd.DataFrame({
+        "x": np.tile(xs.ravel(), 2), "y": np.tile(ys.ravel(), 2),
+        "date": np.repeat(["2020-01-01", "2020-01-02"], xs.size),
+        "obs": np.nan})
+    # only cells (0, 10) and (2, 20) ever have data
+    ref.loc[(ref.x == 0) & (ref.y == 10) & (ref.date == "2020-01-01"),
+            "obs"] = 1.0
+    ref.loc[(ref.x == 2) & (ref.y == 20) & (ref.date == "2020-01-02"),
+            "obs"] = 2.0
+    masks = DataLoader.get_masks_for_expert_loc(ref, el_masks=["had_obs"],
+                                                obs_col="obs")
+    assert len(masks) == 1
+    got = set(map(tuple, masks[0][["x", "y"]].values))
+    assert got == {(0.0, 10.0), (2.0, 20.0)}
+
+    locs = DataLoader.generate_local_expert_locations(
+        {"x": [0.0, 1.0, 2.0], "y": [10.0, 20.0]}, masks=masks)
+    assert set(map(tuple, locs[["x", "y"]].values)) == got
+
+
+def test_get_masks_for_expert_loc_grid_space():
+    """grid_space coarsens the expert grid by a regular stride."""
+    from gpsat_tpu.dataloader import DataLoader
+    ref = pd.DataFrame({"x": np.repeat(np.arange(6.0), 6),
+                        "y": np.tile(np.arange(6.0), 6), "obs": 1.0})
+    masks = DataLoader.get_masks_for_expert_loc(
+        ref, el_masks=[{"grid_space": 2, "dims": ["x", "y"]}])
+    assert len(masks) == 1
+    m = masks[0]
+    assert set(m["x"]) == {0.0, 2.0, 4.0} and set(m["y"]) == {0.0, 2.0, 4.0}
+
+    locs = DataLoader.generate_local_expert_locations(
+        {"x": np.arange(6.0), "y": np.arange(6.0)}, masks=masks)
+    assert len(locs) == 9
+
+
+def test_get_masks_passthrough_where_dict():
+    from gpsat_tpu.dataloader import DataLoader
+    where = {"col": "x", "comp": ">=", "val": 3}
+    masks = DataLoader.get_masks_for_expert_loc(None, el_masks=[where])
+    assert masks == [where]
+    locs = DataLoader.generate_local_expert_locations(
+        {"x": np.arange(6.0), "y": [0.0]}, masks=masks)
+    assert set(locs["x"]) == {3.0, 4.0, 5.0}
