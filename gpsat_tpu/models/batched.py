@@ -1096,6 +1096,28 @@ class BatchedSVGP(BatchedSGPR):
 # VFF batched engine: per-expert box domains, Kronecker Fourier features
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def make_vff_objective(mathmod, kernel, free_names, d, ms, jitter):
+    """Collapsed negative-ELBO objective over the flat unconstrained hyper
+    vector for VFF/ASVGP feature math `mathmod`; args
+    (X, y, mask, a, b, bij, fixed). lru_cache gives the pooled path one
+    stable callable (no retraces)."""
+    from gpsat_tpu.ops.packing import ParamSpec
+
+    shapes = {"lengthscales": (d,), "kernel_variance": (d,),
+              "likelihood_variance": ()}
+    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+
+    def objective(u, X, y, mask, a, b, bijectors, fixed):
+        free = unpack(u, spec)
+        params = dict(fixed)
+        for n in free_names:
+            params[n] = bijectors[n].forward(free[n])
+        return mathmod.neg_elbo(params, X, y, mask, a, b, ms, kernel=kernel,
+                                jitter=jitter)
+
+    return objective
+
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "ms",
                                    "optimise", "do_predict", "max_iter",
                                    "gtol", "ftol", "jitter", "mathmod"))
@@ -1252,6 +1274,35 @@ class BatchedVFF(BatchedGPR):
             ms=self.ms, optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
             jitter=self.jitter, mathmod=self._math)
+
+    # -- pooled execution hooks ----------------------------------------------
+
+    def _pool_supported(self, optimise):
+        """VFF/ASVGP optimise with L-BFGS over hyperparameters only, so the
+        device-resident pool applies directly; the per-expert box domains
+        ride along as extra args like SGPR's inducing points."""
+        return optimise and bool(self.free_names)
+
+    def _pool_objective(self):
+        from gpsat_tpu.ops import vff as vff_math
+        mathmod = self._math if self._math is not None else vff_math
+        return make_vff_objective(mathmod, self.kernel, self.free_names,
+                                  self.d, self.ms, self.jitter), None
+
+    def _pool_extra_args(self, X, mask, param_overrides):
+        self._a, self._b = self._build_domains(X, mask)
+        self._a_all, self._b_all = self._a, self._b
+        return (np.asarray(self._a, dtype=self.dtype),
+                np.asarray(self._b, dtype=self.dtype))
+
+    def _pool_select_chunk(self, ids):
+        self._a = self._a_all[ids]
+        self._b = self._b_all[ids]
+
+    def _pool_finalize(self, out):
+        self._a, self._b = self._a_all, self._b_all
+        out["objective"] = -out["objective"]   # stored objective = ELBO
+        return out
 
 
 class BatchedASVGP(BatchedVFF):

@@ -215,6 +215,78 @@ def test_batched_vff_engine_matches_single_model():
         (m.get_objective_function_value(), out["objective"][0])
 
 
+def test_batched_vff_pooled_matches_one_shot():
+    """The device-resident L-BFGS pool must reproduce the one-shot batched
+    VFF fit: per-expert box domains ride along as pool args, objective sign
+    flips once in _pool_finalize (tolerances are optimiser-level; see the
+    SGPR pool test for why)."""
+    from gpsat_tpu.models.batched import BatchedVFF
+    E, N = 7, 64
+    Xb, yb = [], []
+    for i in range(E):
+        X, y = make_1d(N, seed=40 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((E, N), dtype=bool)
+    mask[3, 50:] = False
+    Xs = np.tile(np.linspace(1, 5, 9)[None, :, None], (E, 1, 1))
+
+    engine = BatchedVFF(coords_dim=1, num_inducing_features=16,
+                        domain_size=4.0, optim_kwargs={"max_iter": 300})
+    engine._expert_locs_scaled = np.full((E, 1), 3.0)
+    base = engine.fit_predict(Xb, yb, mask, Xs=Xs, optimise=True,
+                              predict=True)
+    assert engine._pool_supported(True)
+    pooled = engine.fit_predict_many(Xb, yb, mask, Xs=Xs, optimise=True,
+                                     predict=True, slots=3)
+    np.testing.assert_array_equal(pooled["converged"], base["converged"])
+    conv = np.asarray(base["converged"])
+    assert conv.any()
+    np.testing.assert_allclose(pooled["objective"][conv],
+                               base["objective"][conv], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pooled["objective"], base["objective"],
+                               atol=0.05)
+    for k in base["params"]:
+        np.testing.assert_allclose(pooled["params"][k][conv],
+                                   base["params"][k][conv],
+                                   rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(pooled["preds"]["f*"][conv],
+                               base["preds"]["f*"][conv],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_batched_asvgp_pooled_matches_one_shot():
+    """Same pool-vs-one-shot identity for the ASVGP engine (B-spline
+    features share the VFF pool hooks via self._math)."""
+    from gpsat_tpu.models.batched import BatchedASVGP
+    E, N = 5, 64
+    Xb, yb = [], []
+    for i in range(E):
+        X, y = make_1d(N, seed=60 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((E, N), dtype=bool)
+    Xs = np.tile(np.linspace(1, 5, 9)[None, :, None], (E, 1, 1))
+
+    engine = BatchedASVGP(coords_dim=1, num_inducing_features=16,
+                          domain_size=4.0, optim_kwargs={"max_iter": 300})
+    engine._expert_locs_scaled = np.full((E, 1), 3.0)
+    base = engine.fit_predict(Xb, yb, mask, Xs=Xs, optimise=True,
+                              predict=True)
+    assert engine._pool_supported(True)
+    pooled = engine.fit_predict_many(Xb, yb, mask, Xs=Xs, optimise=True,
+                                     predict=True, slots=2)
+    np.testing.assert_array_equal(pooled["converged"], base["converged"])
+    conv = np.asarray(base["converged"])
+    np.testing.assert_allclose(pooled["objective"][conv],
+                               base["objective"][conv], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pooled["objective"], base["objective"],
+                               atol=0.05)
+    np.testing.assert_allclose(pooled["preds"]["f*"][conv],
+                               base["preds"]["f*"][conv],
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_vff_orchestrated_run(tmp_path):
     import pandas as pd
     from gpsat_tpu.local_experts import LocalExpertOI, get_results_from_h5file
