@@ -417,25 +417,53 @@ class DataLoader:
 
         Returns a list of masks; DataFrame masks hold the *allowed*
         coordinate combinations (semi-join semantics).
+
+        `ref_data` may also be an xarray DataArray/Dataset (the reference's
+        native type): it is duck-typed via `.coords`/`.to_dataframe` so no
+        xarray import is needed here — grid_space masks read the coordinate
+        vectors straight off `.coords`, and had_obs masks reduce over the
+        gridded values via the long-format conversion.
         """
         from gpsat_tpu.utils import sparse_true_array
+
+        is_xr = hasattr(ref_data, "coords") and hasattr(ref_data,
+                                                        "to_dataframe")
+
+        def _coord_vals(dim):
+            if is_xr:
+                return np.asarray(ref_data.coords[dim].values)
+            return np.unique(np.asarray(ref_data[dim]))
+
+        if is_xr and any(m == "had_obs" for m in el_masks or []):
+            # xarray -> long format once; DataArrays need a name for
+            # to_dataframe
+            da = ref_data
+            if obs_col is not None and hasattr(da, "data_vars") \
+                    and obs_col in getattr(da, "data_vars", {}):
+                da = da[obs_col]
+            name = getattr(da, "name", None) or obs_col or "obs"
+            ref_df = da.rename(name).to_dataframe().reset_index() \
+                if hasattr(da, "rename") else da.to_dataframe().reset_index()
+            obs_col = name
+        else:
+            ref_df = ref_data
+
         masks = []
         for m in el_masks or []:
             if isinstance(m, str):
                 if m == "had_obs":
                     assert obs_col is not None, "had_obs mask needs obs_col"
-                    cell_dims = dims or [c for c in ref_data.columns
+                    cell_dims = dims or [c for c in ref_df.columns
                                          if c != obs_col
                                          and c not in reduce_dims]
-                    had = (ref_data.groupby(cell_dims)[obs_col]
+                    had = (ref_df.groupby(cell_dims)[obs_col]
                            .apply(lambda s: s.notna().any()))
                     masks.append(had[had].index.to_frame(index=False))
                 else:
                     cprint(f"mask: {m} not understood", "FAIL")
             elif isinstance(m, dict) and "grid_space" in m:
                 mdims = m["dims"] if isinstance(m["dims"], list) else [m["dims"]]
-                coord_vals = [np.unique(np.asarray(ref_data[d2]))
-                              for d2 in mdims]
+                coord_vals = [_coord_vals(d2) for d2 in mdims]
                 keep = sparse_true_array(
                     tuple(len(v) for v in coord_vals),
                     grid_space=int(m["grid_space"]))

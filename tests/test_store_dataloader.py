@@ -356,3 +356,44 @@ def test_get_masks_passthrough_where_dict():
     locs = DataLoader.generate_local_expert_locations(
         {"x": np.arange(6.0), "y": [0.0]}, masks=masks)
     assert set(locs["x"]) == {3.0, 4.0, 5.0}
+
+def test_get_masks_for_expert_loc_xarray_like():
+    """The reference passes an xarray object (GPSat/dataloader.py:2786-2805);
+    our duck-typed path reads .coords for grid_space and .to_dataframe for
+    had_obs. xarray is absent from the image, so fake the minimal surface."""
+    from gpsat_tpu.dataloader import DataLoader
+
+    xs = np.arange(6.0)
+    ys = np.arange(4.0)
+    dates = np.array(["2020-01-01", "2020-01-02"])
+    vals = np.full((2, 6, 4), np.nan)
+    vals[0, 0, 1] = 1.0
+    vals[1, 5, 3] = 2.0
+
+    class FakeCoord:
+        def __init__(self, v):
+            self.values = np.asarray(v)
+
+    class FakeDataArray:
+        name = "obs"
+        coords = {"x": FakeCoord(xs), "y": FakeCoord(ys),
+                  "date": FakeCoord(dates)}
+
+        def rename(self, name):
+            return self
+
+        def to_dataframe(self):
+            d, xg, yg = np.meshgrid(dates, xs, ys, indexing="ij")
+            return pd.DataFrame({"date": d.ravel(), "x": xg.ravel(),
+                                 "y": yg.ravel(), "obs": vals.ravel()}
+                                ).set_index(["date", "x", "y"])
+
+    masks = DataLoader.get_masks_for_expert_loc(
+        FakeDataArray(), el_masks=["had_obs",
+                                   {"grid_space": 2, "dims": ["x", "y"]}],
+        obs_col="obs")
+    assert len(masks) == 2
+    got = set(map(tuple, masks[0][["x", "y"]].values))
+    assert got == {(0.0, 1.0), (5.0, 3.0)}
+    assert set(masks[1]["x"]) == {0.0, 2.0, 4.0}
+    assert set(masks[1]["y"]) == {0.0, 2.0}
