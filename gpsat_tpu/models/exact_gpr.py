@@ -80,6 +80,40 @@ def make_gpr_value_fun(kernel, free_names, d):
     return value_fun
 
 
+@lru_cache(maxsize=None)
+def make_gpr_vg_fun(kernel, free_names, d):
+    """Batch-level value_and_grad objective through the fused Pallas
+    value+gradient NLML kernel (ops/pallas_gpr.nlml_vg_batched); replaces the
+    per-iteration XLA adjoint evaluation in the L-BFGS loop. The chain rule
+    through the constraint bijectors runs in XLA via a vjp of the
+    (elementwise) unconstrained->parameter map."""
+    _, spec = make_gpr_objective(kernel, free_names, d)
+    from gpsat_tpu.ops.pallas_gpr import nlml_vg_batched
+
+    all_names = ("lengthscales", "kernel_variance", "likelihood_variance")
+
+    def vg_fun(u, X, y, mask, bijectors, fixed):
+        def to_params(u_all):
+            def one(ui, bi, fi):
+                free = unpack(ui, spec)
+                params = dict(fi)
+                for n in free_names:
+                    params[n] = bi[n].forward(free[n])
+                return params
+            return jax.vmap(one)(u_all, bijectors, fixed)
+
+        params, pullback = jax.vjp(to_params, u)
+        val, gparams = nlml_vg_batched(params, X, y, mask.astype(X.dtype),
+                                       kernel, 0.0)
+        # cotangents must mirror the params pytree exactly (incl. dtype)
+        cot = {n: jnp.asarray(gparams[n], jnp.result_type(params[n])).reshape(
+            jnp.shape(params[n])) for n in all_names}
+        (gu,) = pullback(cot)
+        return jnp.asarray(val, u.dtype), gu
+
+    return vg_fun
+
+
 def _tree_add_batch_dim(tree):
     return jax.tree.map(lambda a: jnp.asarray(a)[None], tree)
 

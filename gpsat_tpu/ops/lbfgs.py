@@ -205,14 +205,16 @@ def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "engine", "value_fun"))
+                                   "engine", "value_fun", "vg_fun"))
 def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                        memory_size, max_linesearch_steps, engine="custom",
-                       value_fun=None):
+                       value_fun=None, vg_fun=None):
     """value_fun, if given, overrides the vmapped `fun` for the *value-only*
     linesearch evaluations: value_fun(x [B, P], *args) -> [B]. Used to route
-    trial-step objective values through a fused batch kernel (Pallas) while
-    value_and_grad stays on the autodiff path."""
+    trial-step objective values through a fused batch kernel (Pallas).
+    vg_fun, if given, similarly overrides the per-iteration value_and_grad:
+    vg_fun(x [B, P], *args) -> ([B], [B, P]) (the fused Pallas
+    value+gradient kernel); otherwise autodiff through `fun`."""
     if engine == "optax":
         return _optax_fallback(fun, x0, args, max_iter, gtol, ftol,
                                memory_size, max_linesearch_steps)
@@ -228,11 +230,15 @@ def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                 return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, args)
             return jax.vmap(fun)(x)
 
-    def value_and_grad(x):
-        if args:
-            return jax.vmap(lambda xi, ai: jax.value_and_grad(
-                lambda u: fun(u, *ai))(xi))(x, args)
-        return jax.vmap(jax.value_and_grad(fun))(x)
+    if vg_fun is not None:
+        def value_and_grad(x):
+            return vg_fun(x, *args)
+    else:
+        def value_and_grad(x):
+            if args:
+                return jax.vmap(lambda xi, ai: jax.value_and_grad(
+                    lambda u: fun(u, *ai))(xi))(x, args)
+            return jax.vmap(jax.value_and_grad(fun))(x)
 
     return _batch_lbfgs_loop(value_and_grad, value, x0, max_iter, gtol, ftol,
                              memory_size, max_linesearch_steps)
@@ -279,9 +285,10 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
 
 @partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "value_fun"))
+                                   "value_fun", "vg_fun"))
 def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-                    memory_size, max_linesearch_steps, value_fun=None):
+                    memory_size, max_linesearch_steps, value_fun=None,
+                    vg_fun=None):
     E, P = x0_all.shape
     B = slots
     dtype = x0_all.dtype
@@ -291,9 +298,13 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
         return jax.tree.map(lambda a: a[ids], args_all)
 
     def vg_at(ids):
-        def vg(x):
-            return jax.vmap(lambda xi, ai: jax.value_and_grad(
-                lambda u: fun(u, *ai))(xi))(x, gather(ids))
+        if vg_fun is not None:
+            def vg(x):
+                return vg_fun(x, *gather(ids))
+        else:
+            def vg(x):
+                return jax.vmap(lambda xi, ai: jax.value_and_grad(
+                    lambda u: fun(u, *ai))(xi))(x, gather(ids))
         return vg
 
     def value_at(ids):
@@ -370,7 +381,7 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
 def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
                        ftol=1e-11, memory_size=10, max_linesearch_steps=12,
-                       value_fun=None):
+                       value_fun=None, vg_fun=None):
     """Minimise `fun` for E independent problems through a `slots`-wide
     device-resident pool (see block comment above).
 
@@ -384,7 +395,7 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
     x, f, conv, iters = _lbfgs_pool_jit(
         fun, jnp.asarray(x0_all), jax.tree.map(jnp.asarray, tuple(args_all)),
         B, max_iter, gtol, ftol, memory_size, max_linesearch_steps,
-        value_fun=value_fun)
+        value_fun=value_fun, vg_fun=vg_fun)
     return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters)
 
 

@@ -97,11 +97,114 @@ def test_lbfgs_pallas_linesearch_wiring(monkeypatch):
     batched_mod._gpr_fit_predict.clear_cache()
 
     assert got["converged"].all()
-    # trial-step acceptance may differ slightly (different f32 rounding), so
+    # trial-step acceptance and gradient rounding differ slightly in f32, so
     # optima can land on nearby points — but never meaningfully worse
     assert (got["objective"] <= base["objective"]
-            + 1e-3 * np.abs(base["objective"]) + 1e-3).all(), \
+            + 1e-2 * np.abs(base["objective"]) + 1e-3).all(), \
         (got["objective"], base["objective"])
+    np.testing.assert_allclose(got["objective"], base["objective"],
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(got["preds"]["f*"], base["preds"]["f*"],
+                               rtol=5e-2, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# fused value_and_grad kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_vg_matches_autodiff(kernel):
+    from gpsat_tpu.ops.gpr import nlml_fused
+    from gpsat_tpu.ops.pallas_gpr import nlml_vg_batched
+
+    X, y, mask, params = make_case()
+    p32 = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    X32 = jnp.asarray(X, jnp.float32)
+    y32 = jnp.asarray(y, jnp.float32)
+    m32 = jnp.asarray(mask.astype(np.float32))
+    val, grads = nlml_vg_batched(p32, X32, y32, m32, kernel, 1e-6,
+                                 interpret=True)
+    want_val, want_g = jax.vmap(jax.value_and_grad(
+        lambda p, x, yy, mm: nlml_fused(p, x, yy, mm, kernel, 1e-6)))(
+        p32, X32, y32, m32)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(want_val),
+                               rtol=2e-5, atol=1e-3)
+    for k in grads:
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(want_g[k]),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"{kernel}/{k}")
+
+
+def test_pallas_vg_scalar_lengthscale_broadcast():
+    """A [B, 1] lengthscale with D > 1 must return a [B, 1] gradient that
+    sums the per-dim contributions (matching autodiff through broadcast)."""
+    from gpsat_tpu.ops.gpr import nlml_fused
+    from gpsat_tpu.ops.pallas_gpr import nlml_vg_batched
+
+    X, y, mask, params = make_case(B=5, N=128, D=2, seed=3)
+    params["lengthscales"] = params["lengthscales"][:, :1]
+    p32 = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    X32 = jnp.asarray(X, jnp.float32)
+    y32 = jnp.asarray(y, jnp.float32)
+    m32 = jnp.asarray(mask.astype(np.float32))
+    val, grads = nlml_vg_batched(p32, X32, y32, m32, "Matern32", 1e-6,
+                                 interpret=True)
+    assert grads["lengthscales"].shape == (5, 1)
+    want_val, want_g = jax.vmap(jax.value_and_grad(
+        lambda p, x, yy, mm: nlml_fused(
+            {**p, "lengthscales": jnp.broadcast_to(p["lengthscales"], (2,))},
+            x, yy, mm, "Matern32", 1e-6)))(p32, X32, y32, m32)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(want_val),
+                               rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(grads["lengthscales"])[:, 0],
+        np.asarray(want_g["lengthscales"]).sum(axis=1), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_vg_non_pd_is_nan():
+    from gpsat_tpu.ops.pallas_gpr import nlml_vg_batched
+
+    X, y, mask, params = make_case(B=4, N=64, D=2, seed=2)
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    params["likelihood_variance"] = jnp.asarray([-5.0, 0.1, 0.1, 0.1])
+    val, grads = nlml_vg_batched(params, X, y, mask.astype(float),
+                                 "Matern32", 0.0, interpret=True)
+    assert np.isnan(np.asarray(val)[0])
+    assert np.isfinite(np.asarray(val)[1:]).all()
+    assert np.isfinite(np.asarray(grads["lengthscales"])[1:]).all()
+
+
+def test_lbfgs_pool_pallas_vg_wiring(monkeypatch):
+    """Pooled sweep with both fused paths forced on (interpret mode): results
+    must match the pure-XLA pooled run."""
+    from gpsat_tpu.models.batched import BatchedGPR
+    from gpsat_tpu.ops import pallas_gpr
+    from gpsat_tpu.ops import lbfgs as lbfgs_mod
+
+    E, N, D = 7, 96, 2
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-3, 3, (E, N, D))
+    y = np.sin(X[..., 0]) + 0.1 * rng.standard_normal((E, N))
+    y = y - y.mean(axis=1, keepdims=True)
+    mask = np.ones((E, N), dtype=bool)
+    Xs = np.tile(np.linspace(-2, 2, 5)[None, :, None], (E, 1, D))
+
+    def run():
+        eng = BatchedGPR(coords_dim=D, kernel="Matern32",
+                         optim_kwargs={"max_iter": 150},
+                         dtype=jnp.float32, jitter=1e-6)
+        return eng.fit_predict_many(X, y, mask, Xs=Xs, optimise=True,
+                                    predict=True, slots=3)
+
+    base = run()
+    monkeypatch.setattr(pallas_gpr, "_FORCE_SUPPORTED", True)
+    monkeypatch.setattr(pallas_gpr, "_INTERPRET", True)
+    lbfgs_mod._lbfgs_pool_jit.clear_cache()
+    got = run()
+    lbfgs_mod._lbfgs_pool_jit.clear_cache()
+
+    assert got["converged"].all()
     np.testing.assert_allclose(got["objective"], base["objective"],
                                rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(got["preds"]["f*"], base["preds"]["f*"],
