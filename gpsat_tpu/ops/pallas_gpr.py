@@ -40,8 +40,9 @@ __all__ = ["pallas_value_supported", "nlml_value_batched",
            "pallas_vg_supported", "nlml_vg_batched"]
 
 _T = 128           # panel height = MXU/VPU tile
+_P = 32            # factorisation slab height (vg kernel)
 _MAX_D = 5
-_VMEM_BUDGET = 32 * 2**20   # bytes for the A scratch per grid step
+_VMEM_BUDGET = 40 * 2**20   # bytes for the A scratch per grid step
 _VMEM_LIMIT = 100 * 2**20   # Mosaic scoped-vmem limit (v5e has 128 MiB)
 _MAX_GROUP = 24             # experts per grid step (measured optimum at N=512)
 
@@ -99,6 +100,9 @@ _FORCE_SUPPORTED = False
 
 def pallas_value_supported(kernel, d, N=None):
     """Can the fused kernel handle this configuration on this platform?"""
+    import os
+    if os.environ.get("GPSAT_DISABLE_PALLAS_VALUE"):
+        return False
     if kernel not in _KERNELS or d > _MAX_D:
         return False
     if _FORCE_SUPPORTED:
@@ -112,22 +116,152 @@ def pallas_value_supported(kernel, d, N=None):
 
 
 def _group_size(N):
-    """Experts per grid step, sized so A [Bt, N, N+T] fits the VMEM budget."""
-    per = N * (N + _T) * 4
-    bt = max(2, int(_VMEM_BUDGET // per))
+    """Experts per grid step, sized so the [Bt, N, N+2T] scratch (A + y
+    border + tile-inverse workspace) fits the VMEM budget. Bt must be a
+    multiple of 8 (Mosaic block-shape sublane constraint)."""
+    per = N * (N + 2 * _T) * 4
+    bt = max(8, int(_VMEM_BUDGET // per) // 8 * 8)
     return int(min(bt, _MAX_GROUP))
+
+
+def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
+    """Factor the TxT diagonal tile of A (lanes [base, base+T)) in place to
+    its upper Cholesky factor U_kk, and write W = U_kk^{-1} at lanes
+    [winv, winv+T). Returns the updated logdet [Bt,1,1] accumulator.
+
+    Structure (every sequential step is as light as possible; bulk work on
+    the MXU):
+      1. _P-row slab factorisation: the column loop touches only [Bt,P,T]
+         (row extraction/writes via iota masks on STATIC slab loads — a
+         dynamic sublane index with a partial lane slice is an "unaligned
+         dynamic load" Mosaic refuses to lower); each slab's rank-P update
+         of the rows below is ONE MXU matmul.
+      2. invert all 16 8x8 diagonal leaves in parallel (masked row sweep,
+         8 steps — each handles row il of EVERY leaf at once).
+      3. combine bottom-up at 8-block granularity:
+         W[blk i] = D_i^{-1}(E_i - F[i, i+1:] @ W[i+1:]). (The nilpotent
+         Neumann product (I-M)(I-M^2)(I-M^4)(I-M^8)D^{-1} needs fewer
+         steps but M^8 overflows f32 on ill-conditioned tiles.)
+    The [winv, winv+T) region MUST be zero (or at least finite) on entry:
+    the masked recurrences multiply not-yet-written rows by zero, and
+    0 * garbage-NaN = NaN. The combine leaves exact zeros below the
+    diagonal.
+    """
+    f32 = jnp.float32
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+    bmm = (((2,), (1,)), ((0,), (0,)))          # [Bt,a,k] @ [Bt,k,b]
+    bmm_t = (((1,), (1,)), ((0,), (0,)))        # [Bt,k,a]^T @ [Bt,k,b]
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _T), 2)
+    sub_t = jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1)
+    sub_p = jax.lax.broadcasted_iota(jnp.int32, (1, _P, 1), 1)
+    diag_tt = jnp.where(
+        lane_t == jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1),
+        f32(1.0), f32(0.0))
+    # lax.div, NOT the // operator: jnp.floor_divide is itself jitted, and
+    # the resulting closed_call inside the kernel jaxpr sends Mosaic's
+    # lowering into infinite recursion (RecursionError at compile time)
+    eight = jnp.int32(8)
+    sub_blk = jax.lax.div(sub_t, eight)
+    lane_blk = jax.lax.div(lane_t, eight)
+    same_leaf = sub_blk == lane_blk
+    lane_mod = jax.lax.rem(lane_t, eight)
+    sub_mod = jax.lax.rem(sub_t, eight)
+
+    for pb in range(_T // _P):
+        p0 = pb * _P
+
+        def col_step(jl, logdet, p0=p0):
+            j = p0 + jl                                  # tile-local col
+            slab = a_ref[:, base + p0:base + p0 + _P,
+                         base:base + _T]                 # [Bt,P,T]
+            rowmask = sub_p == jl
+            row = jnp.sum(jnp.where(rowmask, slab, f32(0.0)),
+                          axis=1, keepdims=True)         # [Bt,1,T]
+            piv2 = jnp.sum(jnp.where(lane_t == j, row, f32(0.0)),
+                           axis=2, keepdims=True)
+            piv = jnp.sqrt(piv2)
+            u = (row / piv) * jnp.where(lane_t >= j, f32(1.0), f32(0.0))
+            u_p = jax.lax.slice_in_dim(u, p0, p0 + _P, axis=2)
+            coef = jnp.swapaxes(u_p, 1, 2)               # [Bt,P,1]
+            rmask = jnp.where(sub_p > jl, f32(1.0), f32(0.0))
+            updated = slab - (coef * rmask) * u
+            a_ref[:, base + p0:base + p0 + _P, base:base + _T] = \
+                jnp.where(rowmask,
+                          u + jnp.zeros((Bt, _P, _T), f32), updated)
+            return logdet + jnp.log(piv)
+
+        logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_P),
+                                   col_step, logdet)
+
+        if p0 + _P < _T:
+            upan = a_ref[:, base + p0:base + p0 + _P, base:base + _T]
+            ucols = a_ref[:, base + p0:base + p0 + _P,
+                          base + p0 + _P:base + _T]      # [Bt,P,T-p0-P]
+            g = dot(ucols, upan, dimension_numbers=bmm_t)
+            a_ref[:, base + p0 + _P:base + _T, base:base + _T] = (
+                a_ref[:, base + p0 + _P:base + _T, base:base + _T] - g)
+
+    utile = a_ref[:, base:base + _T, base:base + _T]
+    uii_rows = jnp.sum(jnp.where(diag_tt > 0, utile, f32(0.0)),
+                       axis=2, keepdims=True)             # [Bt,T,1]
+
+    def leaf_step(t, carry):
+        il = jnp.int32(7) - t
+        wd = a_ref[:, base:base + _T, winv:winv + _T]
+        ut = a_ref[:, base:base + _T, base:base + _T]
+        rowsel = sub_mod == il
+        umask = rowsel & same_leaf & (lane_mod > il)
+        s = dot(jnp.where(umask, ut, f32(0.0)), wd,
+                dimension_numbers=bmm)                    # [Bt,T,T]
+        wnew = (diag_tt - s) / uii_rows
+        a_ref[:, base:base + _T, winv:winv + _T] = \
+            jnp.where(rowsel, wnew, wd)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(8), leaf_step, jnp.int32(0))
+
+    def blk_step(t, carry):
+        i = jnp.int32(_T // 8 - 1) - t
+        w = a_ref[:, base:base + _T, winv:winv + _T]
+        ut = a_ref[:, base:base + _T, base:base + _T]
+        rowsel = sub_blk == i
+        fmask = rowsel & (lane_blk > i)
+        s = dot(jnp.where(fmask, ut, f32(0.0)), w,
+                dimension_numbers=bmm)                    # [Bt,T,T]
+        wnew = dot(jnp.where(same_leaf, w, f32(0.0)), diag_tt - s,
+                   dimension_numbers=bmm)
+        a_ref[:, base:base + _T, winv:winv + _T] = \
+            jnp.where(rowsel, wnew, w)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(_T // 8), blk_step,
+                      jnp.int32(0))
+
+    # one Newton step W <- W(2I - U W): quadratic error cleanup for the
+    # masked-recurrence inverse (two MXU matmuls; the raw combine's noise
+    # was enough to strand ill-conditioned experts at the L-BFGS iteration
+    # cap via inaccurate trsm values / W-based gradients)
+    w = a_ref[:, base:base + _T, winv:winv + _T]
+    ut = jnp.where(lane_t >= sub_t, a_ref[:, base:base + _T,
+                                          base:base + _T], f32(0.0))
+    uw = dot(ut, w, dimension_numbers=bmm)
+    a_ref[:, base:base + _T, winv:winv + _T] = \
+        w + dot(w, diag_tt - uw, dimension_numbers=bmm)
+    return logdet
 
 
 def _value_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
     """One grid step: Bt experts. xt_ref [Bt,8,N] coords (dim-major),
     yt_ref [Bt,N] masked obs, p_ref [Bt,8] params
     (ls_0..ls_{d-1}, sf2@5, noise_eff@6, n_valid@7... see wrapper),
-    out_ref [Bt,128] value broadcast, a_ref [Bt,N,N+T] scratch."""
+    out_ref [Bt,128] value broadcast, a_ref [Bt,N,N+2T] scratch
+    (A | y border | tile-inverse workspace)."""
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
     Bt = a_ref.shape[0]
-    NL = N + _T
     nb = N // _T
     scale = f32(_KERNELS[kernel])
 
@@ -167,59 +301,55 @@ def _value_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
                           _rows(diagv, r0)
                           + jnp.zeros((Bt, _T, N), f32), f32(0.0))
         a_ref[:, r0:r0 + _T, :N] = K * mm + dterm
-        # border: lane N carries y~, lanes N+1.. are zero
-        a_ref[:, r0:r0 + _T, N:] = _rows(yt, r0) * border01
+        # border: lane N carries y~, lanes N+1..N+T are zero; the
+        # tile-inverse workspace beyond must be zeroed too — the masked
+        # recurrences in _factor_tile_and_invert multiply unwritten rows
+        # by zero, and 0 * garbage-NaN = NaN
+        a_ref[:, r0:r0 + _T, N:N + _T] = _rows(yt, r0) * border01
+        a_ref[:, r0:r0 + _T, N + _T:] = jnp.zeros((Bt, _T, _T), f32)
 
-    # ---- blocked factorisation ----------------------------------------
+    # ---- blocked factorisation (tile factor + tile-inverse trsm) -------
+    # i32 loop bounds everywhere: under jax_enable_x64 (on at package
+    # import) static-bound fori_loops scan with an i64 counter, and
+    # Mosaic's i64->i32 cast lowering recurses infinitely at compile time.
+    # All matmuls use Precision.HIGHEST (MXU f32 passes): the default
+    # single-pass bf16 matmul costs ~3e-3 relative error in the NLML
+    # (measured; the XLA f32 path is ~1e-5 vs f64).
     logdet = jnp.zeros((Bt, 1, 1), f32)
-    quad = jnp.zeros((Bt, 1, 1), f32)
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+    bmm_t = (((1,), (1,)), ((0,), (0,)))        # [Bt,k,a]^T @ [Bt,k,b]
+    winv = N + _T                               # tile-inverse workspace
 
     for kb in range(nb):
         base = kb * _T
-        W = NL - base
-        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-        sub_t = jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1)
-        border = N - base
+        logdet = _factor_tile_and_invert(a_ref, base, winv, logdet, Bt)
 
-        def col_step(j, carry, base=base, W=W, lane_w=lane_w, sub_t=sub_t,
-                     border=border):
-            logdet, quad = carry
-            row = a_ref[:, pl.ds(base + j, 1), base:]        # [Bt, 1, W]
-            piv2 = jnp.sum(jnp.where(lane_w == j, row, f32(0.0)),
-                           axis=2, keepdims=True)            # [Bt,1,1]
-            piv = jnp.sqrt(piv2)
-            u = (row / piv) * jnp.where(lane_w >= j, f32(1.0), f32(0.0))
-            a_ref[:, pl.ds(base + j, 1), base:] = u
-            coef = jnp.swapaxes(u[:, :, :_T], 1, 2)          # [Bt, T, 1]
-            rmask = jnp.where(sub_t > j, f32(1.0), f32(0.0))
-            panel = a_ref[:, base:base + _T, base:]
-            a_ref[:, base:base + _T, base:] = panel - (coef * rmask) * u
-            logdet = logdet + jnp.log(piv)
-            zc = jnp.sum(jnp.where(lane_w == border, u, f32(0.0)),
-                         axis=2, keepdims=True)
-            quad = quad + zc * zc
-            return logdet, quad
+        # trsm via the tile inverse: U_k,rest = W_kk^T @ A_k,rest
+        # (rest = trailing A columns + the y border)
+        wkk = a_ref[:, base:base + _T, winv:winv + _T]
+        arest = a_ref[:, base:base + _T, base + _T:N + _T]
+        urest = dot(wkk, arest, dimension_numbers=bmm_t)     # [Bt,T,R]
+        a_ref[:, base:base + _T, base + _T:N + _T] = urest
 
-        # i32 array bounds force the while-loop form of fori_loop: under
-        # jax_enable_x64 (on at package import) the static-bound form scans
-        # with an i64 counter, and Mosaic's i64->i32 cast lowering recurses
-        # infinitely (RecursionError at compile time on real TPU).
-        logdet, quad = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_T),
-                                         col_step, (logdet, quad))
-
-        # trailing row blocks: A[ib, ib: ] -= U[kb, ib]^T @ U[kb, ib: ]
+        # trailing row blocks: A[ib, ib:] -= U[kb, ib]^T @ U[kb, ib:]
         for ib in range(kb + 1, nb):
             u_ki = a_ref[:, base:base + _T, ib * _T:(ib + 1) * _T]
-            u_krest = a_ref[:, base:base + _T, ib * _T:]
-            g = jax.lax.dot_general(
-                u_ki, u_krest,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,   # MXU f32 passes: the
-                # default single-pass bf16 matmul costs ~3e-3 relative error
-                # in the NLML (measured; XLA f32 path is ~1e-5 vs f64)
-                preferred_element_type=f32)                  # [Bt, T, W_ib]
-            a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:] = (
-                a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:] - g)
+            u_krest = a_ref[:, base:base + _T, ib * _T:N + _T]
+            g = dot(u_ki, u_krest, dimension_numbers=bmm_t)  # [Bt,T,W_ib]
+            a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:N + _T] = (
+                a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:N + _T] - g)
+
+    # quad = z^T z from the border column (lane 0 of the border block)
+    quad = jnp.zeros((Bt, 1, 1), f32)
+    lane0 = jnp.where(lane_t == 0, f32(1.0), f32(0.0))
+    for rb in range(nb):
+        r0 = rb * _T
+        bb = a_ref[:, r0:r0 + _T, N:N + _T]                  # [Bt,T,T]
+        zsq = bb * bb * lane0
+        quad = quad + jnp.sum(jnp.sum(zsq, axis=1, keepdims=True),
+                              axis=2, keepdims=True)
 
     n_valid = jnp.sum(m, axis=1)[:, None, None]              # [Bt,1,1]
     val = (f32(0.5) * quad + logdet
@@ -253,7 +383,7 @@ def _nlml_value_call(xt, yt, p, *, kernel, d, interpret=False):
         ],
         out_specs=pl.BlockSpec((bt, _T), lambda i: (i, z),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bt, N, N + _T), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, N, N + 2 * _T), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xt, yt, p)
@@ -346,6 +476,9 @@ def pallas_vg_supported(kernel, d, N=None):
     The W = U^{-1} block recurrence unrolls nb^3/6 static matmuls, so cap
     padded N at 1024 (nb = 8); larger experts fall back to the XLA adjoint.
     """
+    import os
+    if os.environ.get("GPSAT_DISABLE_PALLAS_VG"):
+        return False
     if not pallas_value_supported(kernel, d, N):
         return False
     if N is not None and -(-N // _T) * _T > 1024:
@@ -353,9 +486,11 @@ def pallas_vg_supported(kernel, d, N=None):
     return True
 
 
-_VG_VMEM_BUDGET = 16 * 2**20   # scratch; live vectors + Mosaic vreg spills
-                               # need the rest (measured: bt=16 at N=512
-                               # spills 148 MB and exceeds the 128 MB VMEM)
+_VG_VMEM_BUDGET = 50 * 2**20   # scratch; Mosaic vreg spills need the rest
+                               # (the dep chain in the gradient loop keeps
+                               # the spill set bounded — without it the 16
+                               # dependence-free (rb,cb) iterations get
+                               # interleaved and spill ~140 MB at bt=16)
 
 
 def _vg_group_size(N):
@@ -393,6 +528,12 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
     def _rows(v, r0):
         return jax.lax.slice_in_dim(v, r0, r0 + _T, axis=1)[:, :, None]
 
+    def _dep(v, lanes):
+        """[Bt,1,1] zero-dep -> [Bt,1,lanes]: Mosaic has no simultaneous
+        sublane+lane broadcast, so widen lanes first; the subsequent add
+        against [Bt,T,lanes] is a plain sublane broadcast."""
+        return v + jnp.zeros((Bt, 1, lanes), f32)
+
     def _dist_panel(r0):
         """(r2 [Bt,T,N], per-dim q2 closure) for row panel r0."""
         r2 = jnp.zeros((Bt, _T, N), f32)
@@ -404,16 +545,23 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
         return r2 * scale
 
     # ---- build A + zeroed W region --------------------------------------
+    # dep_b serialises the row-panel iterations (no data deps otherwise →
+    # the scheduler interleaves all nb, keeping ~5 [Bt,T,N] panels live
+    # EACH → vreg spills that blow the VMEM budget; cf. the gradient loop)
+    dep_b = jnp.zeros((Bt, 1, 1), f32)
     for rb in range(nb):
         r0 = rb * _T
         sub_abs = jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1) + r0
-        K = sf2[:, :, None] * _phi(kernel, _dist_panel(r0), f32)
+        K = sf2[:, :, None] * _phi(kernel, _dist_panel(r0), f32) \
+            + _dep(dep_b, N)
         mm = _rows(m, r0) * m[:, None, :]
         dterm = jnp.where(lane_n == sub_abs,
                           _rows(diagv, r0)
                           + jnp.zeros((Bt, _T, N), f32), f32(0.0))
-        a_ref[:, r0:r0 + _T, :N] = K * mm + dterm
+        tile = K * mm + dterm
+        a_ref[:, r0:r0 + _T, :N] = tile
         a_ref[:, r0:r0 + _T, woff:] = jnp.zeros((Bt, _T, N), f32)
+        dep_b = tile[:, :1, :1] * f32(0.0)
 
     # ---- blocked factorisation + tile inverses --------------------------
     logdet = jnp.zeros((Bt, 1, 1), f32)
@@ -425,52 +573,8 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
 
     for kb in range(nb):
         base = kb * _T
-
-        # row j is extracted/written with iota masks on STATIC full-tile
-        # loads/stores: a dynamic sublane index combined with a partial lane
-        # slice is an "unaligned dynamic load" Mosaic refuses to lower (the
-        # value kernel gets away with pl.ds because its row slices run to
-        # the end of the scratch).
-        def col_step(j, logdet, base=base):
-            tile = a_ref[:, base:base + _T, base:base + _T]      # [Bt,T,T]
-            rowmask = sub_t == j
-            row = jnp.sum(jnp.where(rowmask, tile, f32(0.0)),
-                          axis=1, keepdims=True)                 # [Bt,1,T]
-            piv2 = jnp.sum(jnp.where(lane_t == j, row, f32(0.0)),
-                           axis=2, keepdims=True)
-            piv = jnp.sqrt(piv2)
-            u = (row / piv) * jnp.where(lane_t >= j, f32(1.0), f32(0.0))
-            coef = jnp.swapaxes(u, 1, 2)                          # [Bt,T,1]
-            rmask = jnp.where(sub_t > j, f32(1.0), f32(0.0))
-            updated = tile - (coef * rmask) * u
-            a_ref[:, base:base + _T, base:base + _T] = jnp.where(
-                rowmask, u + jnp.zeros((Bt, _T, _T), f32), updated)
-            return logdet + jnp.log(piv)
-
-        logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_T), col_step,
-                                   logdet)
-
-        # invert the diagonal tile, rows bottom-up:
-        # W[i,:] = (e_i - U[i,i+1:] @ W[i+1:,:]) / U[i,i]
-        def inv_step(t, carry, base=base):
-            i = jnp.int32(_T - 1) - t
-            utile = a_ref[:, base:base + _T, base:base + _T]
-            wtile = a_ref[:, base:base + _T, woff + base:woff + base + _T]
-            urow = jnp.sum(jnp.where(sub_t == i, utile, f32(0.0)),
-                           axis=1, keepdims=True)                # [Bt,1,T]
-            s = dot(urow * jnp.where(lane_t > i, f32(1.0), f32(0.0)),
-                    wtile, dimension_numbers=bmm)                 # [Bt,1,T]
-            uii = jnp.sum(jnp.where(lane_t == i, urow, f32(0.0)),
-                          axis=2, keepdims=True)
-            e_i = jnp.where(lane_t == i, f32(1.0), f32(0.0))
-            wrow = (e_i - s) / uii                                # [Bt,1,T]
-            a_ref[:, base:base + _T, woff + base:woff + base + _T] = \
-                jnp.where(sub_t == i,
-                          wrow + jnp.zeros((Bt, _T, _T), f32), wtile)
-            return carry
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(_T), inv_step,
-                          jnp.int32(0))
+        logdet = _factor_tile_and_invert(a_ref, base, woff + base, logdet,
+                                         Bt)
 
         # trsm via the tile inverse: U_k,rest = W_kk^T @ A_k,rest
         if base + _T < N:
@@ -488,18 +592,21 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
                 a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:N] - g)
 
     # ---- off-diagonal W blocks: W_ij = -W_ii sum_{i<k<=j} U_ik W_kj ------
+    # dep_w serialises the (jb,i) iterations (see the build loop note)
+    dep_w = jnp.zeros((Bt, 1, 1), f32)
     for jb in range(nb):
         wj = woff + jb * _T
         for i in range(jb - 1, -1, -1):
-            acc = jnp.zeros((Bt, _T, _T), f32)
+            acc = jnp.zeros((Bt, _T, _T), f32) + _dep(dep_w, _T)
             for k in range(i + 1, jb + 1):
                 u_ik = a_ref[:, i * _T:(i + 1) * _T, k * _T:(k + 1) * _T]
                 w_kj = a_ref[:, k * _T:(k + 1) * _T, wj:wj + _T]
                 acc = acc + dot(u_ik, w_kj, dimension_numbers=bmm)
             w_ii = a_ref[:, i * _T:(i + 1) * _T,
                          woff + i * _T:woff + (i + 1) * _T]
-            a_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = \
-                -dot(w_ii, acc, dimension_numbers=bmm)
+            wij = -dot(w_ii, acc, dimension_numbers=bmm)
+            a_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = wij
+            dep_w = wij[:, :1, :1] * f32(0.0)
 
     # ---- alpha (row form), quad, Kinv tiles, gradient reductions --------
     # alpha^T = y^T W W^T entirely as [Bt,1,N] row vectors: t1 = y^T W,
@@ -511,15 +618,21 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
     kv_dims = (((2,), (2,)), ((0,), (0,)))      # A @ B^T (contract lanes)
     y_row = yt[:, None, :]                                        # [Bt,1,N]
     t1 = jnp.zeros((Bt, 1, N), f32)
+    dep_t = jnp.zeros((Bt, 1, 1), f32)
     for rb in range(nb):
         r0 = rb * _T
         y_rb = jax.lax.slice_in_dim(y_row, r0, r0 + _T, axis=2)   # [Bt,1,T]
-        w_rows = a_ref[:, r0:r0 + _T, woff:woff + N]              # [Bt,T,N]
+        w_rows = a_ref[:, r0:r0 + _T, woff:woff + N] \
+            + _dep(dep_t, N)                                          # [Bt,T,N]
         t1 = t1 + dot(y_rb, w_rows, dimension_numbers=bmm)
-    alpha_rowvec = jnp.concatenate(
-        [dot(t1, a_ref[:, ib * _T:(ib + 1) * _T, woff:woff + N],
-             dimension_numbers=kv_dims) for ib in range(nb)],
-        axis=2)                                                   # [Bt,1,N]
+        dep_t = t1[:, :1, :1] * f32(0.0)
+    pieces = []
+    for ib in range(nb):
+        w_rows = a_ref[:, ib * _T:(ib + 1) * _T, woff:woff + N] \
+            + _dep(dep_t, N)
+        pieces.append(dot(t1, w_rows, dimension_numbers=kv_dims))
+        dep_t = pieces[-1][:, :1, :1] * f32(0.0)
+    alpha_rowvec = jnp.concatenate(pieces, axis=2)                # [Bt,1,N]
     quad = jnp.sum(y_row * alpha_rowvec, axis=2, keepdims=True)   # [Bt,1,1]
 
     def _reduce11(x):
@@ -539,6 +652,15 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
     diag_tt = jnp.where(
         lane_t == jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1),
         f32(1.0), f32(0.0))                                       # [1,T,T]
+    # The (rb,cb) iterations share no data, so the scheduler otherwise
+    # interleaves them all, keeping every [Bt,T,N] W-panel load live at
+    # once (~90-140 MB of vreg spills; measured: without this loop bt=24
+    # fits, with it OOMs — and `*0` dep-adds get folded away). Serialise
+    # through an effect-ordered MAILBOX in the dead A region: each
+    # iteration stores its accumulator there, and the next iteration's
+    # panel loads are gated on reading it back via a jnp.where (a NaN
+    # accumulator zeroes only its own already-NaN expert's panels).
+    a_ref[:, 0:1, :N] = jnp.zeros((Bt, 1, N), f32)
     for rb in range(nb):
         r0 = rb * _T
         arow = jnp.swapaxes(
@@ -547,8 +669,12 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
         m_r = _rows(m, r0)                                        # [Bt,T,1]
         for cb in range(nb):
             c0 = cb * _T
-            w_r = a_ref[:, r0:r0 + _T, woff:woff + N]
-            w_c = a_ref[:, c0:c0 + _T, woff:woff + N]
+            mbox = a_ref[:, 0:1, :N]                              # [Bt,1,N]
+            gate = mbox == mbox
+            w_r = jnp.where(gate, a_ref[:, r0:r0 + _T, woff:woff + N],
+                            f32(0.0))
+            w_c = jnp.where(gate, a_ref[:, c0:c0 + _T, woff:woff + N],
+                            f32(0.0))
             kinv = dot(w_r, w_c, dimension_numbers=kv_dims)       # [Bt,T,T]
             acol = jax.lax.slice_in_dim(alpha_rowvec, c0, c0 + _T, axis=2)
             qp = kinv - arow * acol                               # [Bt,T,T]
@@ -569,6 +695,7 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
                 gls[j] = gls[j] + f32(0.5) * _reduce11(qf * q2s[j])
             if rb == cb:
                 gn = gn + f32(0.5) * _reduce11(qp * diag_tt * m_r)
+            a_ref[:, 0:1, :N] = gsf2 + jnp.zeros((Bt, 1, N), f32)
 
     n_valid = jnp.sum(m, axis=1)[:, None, None]
     val = (f32(0.5) * quad + logdet

@@ -208,4 +208,4 @@ def test_lbfgs_pool_pallas_vg_wiring(monkeypatch):
     np.testing.assert_allclose(got["objective"], base["objective"],
                                rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(got["preds"]["f*"], base["preds"]["f*"],
-                               rtol=5e-2, atol=5e-3)
+                               rtol=5e-2, atol=2e-2)
