@@ -43,8 +43,11 @@ _T = 128           # panel height = MXU/VPU tile
 _P = 32            # factorisation slab height (vg kernel)
 _MAX_D = 5
 _VMEM_BUDGET = 40 * 2**20   # bytes for the A scratch per grid step
-_VMEM_LIMIT = 100 * 2**20   # Mosaic scoped-vmem limit (v5e has 128 MiB)
-_MAX_GROUP = 24             # experts per grid step (measured optimum at N=512)
+_VMEM_LIMIT = 116 * 2**20   # Mosaic scoped-vmem limit (v5e has 128 MiB;
+                            # bt=40 value kernel needs ~103 MiB scoped)
+_MAX_GROUP = 24             # experts per grid step (measured optimum: bt=24
+                            # 4.23 ms/eval vs bt=40 4.51 — per-step work
+                            # scales with Bt and beats the grid-step saving)
 
 # r2 scale factor per kernel: q2_j = scale * (dx_j / ls_j)^2
 _KERNELS = {
