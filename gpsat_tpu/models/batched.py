@@ -482,6 +482,11 @@ class BatchedGPR:
             {n: self.bijectors[n] for n in self.free_names})
         X_np = np.asarray(X)
         Xs_np = None if Xs is None else np.asarray(Xs)
+        # dispatch every chunk first (jax dispatch is async) and materialise
+        # afterwards: an np.asarray inside the loop blocks on each chunk's
+        # result, paying the full device+tunnel latency per chunk instead of
+        # pipelining the whole sweep
+        pending = []
         for s in range(0, E, B):
             ids = np.arange(s, min(s + B, E))
             pad = np.concatenate([ids, np.full(B - len(ids), ids[-1])]) \
@@ -498,6 +503,9 @@ class BatchedGPR:
                 jnp.asarray(X_np[pad], dtype=self.dtype),
                 jnp.asarray(y_np[pad], dtype=self.dtype), mask_np[pad],
                 Xs_in, bij_chunk, fixed_chunk, False, do_predict)
+            pending.append((ids, p_chunk, pr))
+
+        for ids, p_chunk, pr in pending:
             for n in self.HYPER_NAMES:
                 out_params[n][ids] = np.asarray(p_chunk[n])[:len(ids)]
             if do_predict:
