@@ -64,9 +64,20 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
     params = jax.vmap(constrained)(u, bijectors, fixed)
 
     if do_predict:
-        preds = jax.vmap(lambda p, xi, yi, mi, xsi:
-                         gpr_math.predict(p, xi, yi, mi, xsi, kernel=kernel))(
-            params, X, y, mask, Xs)
+        # the fused Pallas prediction kernel replaces the XLA batched
+        # Cholesky + triangular-solve chain (pure latency on TPU) when the
+        # platform/kernel supports it
+        from gpsat_tpu.ops.pallas_gpr import (pallas_predict_supported,
+                                              posterior_predict_batched)
+        if pallas_predict_supported(kernel, d, X.shape[1], Xs.shape[1]):
+            preds = posterior_predict_batched(
+                params, X, y, mask.astype(X.dtype), Xs, kernel, 0.0)
+            preds = {k: jnp.asarray(v, X.dtype) for k, v in preds.items()}
+        else:
+            preds = jax.vmap(
+                lambda p, xi, yi, mi, xsi:
+                gpr_math.predict(p, xi, yi, mi, xsi, kernel=kernel))(
+                params, X, y, mask, Xs)
     else:
         preds = {}
     return params, fval, conv, iters, preds
@@ -471,11 +482,22 @@ class BatchedGPR:
                 params = self._constrained_np(u)
 
         # predictions + fixed-param fill via the existing (optimise=False)
-        # program in slot-shaped chunks
+        # program. Chunk width: the slot width when the XLA prediction path
+        # (with its [B,N,N] HBM temporaries) will run, but when the fused
+        # Pallas prediction kernel is active, its VMEM grid removes that
+        # constraint — one whole-sweep call replaces ~E/B dispatches (the
+        # prediction phase is dispatch-bound, not compute-bound)
         out_params = {n: np.empty((E,) + self.param_shape(n)) for n in
                       self.HYPER_NAMES}
         preds_out = None
         do_predict = predict and Xs is not None
+        B_fill = B
+        if do_predict and type(self) is BatchedGPR:
+            from gpsat_tpu.ops.pallas_gpr import pallas_predict_supported
+            if pallas_predict_supported(self.kernel, self.d, X.shape[1],
+                                        np.asarray(Xs).shape[1]):
+                B_fill = min(E, 1024)
+        B = B_fill
         bij_chunk = jax.tree.map(
             lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
                                        (B,) + jnp.asarray(a).shape),

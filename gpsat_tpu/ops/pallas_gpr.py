@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["pallas_value_supported", "nlml_value_batched",
-           "pallas_vg_supported", "nlml_vg_batched"]
+           "pallas_vg_supported", "nlml_vg_batched",
+           "pallas_predict_supported", "posterior_predict_batched"]
 
 _T = 128           # panel height = MXU/VPU tile
 _P = 32            # factorisation slab height (vg kernel)
@@ -803,3 +804,291 @@ def nlml_vg_batched(params, X, y, maskf, kernel, jitter, interpret=None):
     grads = {"lengthscales": g_ls, "kernel_variance": g_sf2,
              "likelihood_variance": g_sn2}
     return val, grads
+
+
+# ---------------------------------------------------------------------------
+# fused posterior prediction kernel
+# ---------------------------------------------------------------------------
+#
+# mean = Ks^T alpha and var_f = sf2 - ||W^T ks_p||^2 for every prediction
+# point, with alpha = W W^T y and W = U^{-1} from the same tile machinery as
+# the vg kernel (reference math: GPSat/models/gpflow_models.py:187-273 via
+# gpflow predict_f; XLA path: ops/gpr.predict). The XLA prediction phase was
+# ~40% of the bench sweep (batched Cholesky + triangular solves are latency
+# chains); here everything after the build is MXU matmuls on VMEM-resident
+# blocks. Kst (data rows x prediction lanes) is staged in scratch so the
+# mean row and the blocked variance reduction both read it without rebuilds.
+
+
+def pallas_predict_supported(kernel, d, N=None, P=None):
+    """Can the fused prediction kernel handle this configuration?"""
+    import os
+    if os.environ.get("GPSAT_DISABLE_PALLAS_PREDICT"):
+        return False
+    if not pallas_value_supported(kernel, d, N):
+        return False
+    if N is not None and -(-N // _T) * _T > 1024:
+        return False
+    if P is not None and -(-P // _T) * _T > 2048:
+        return False
+    return True
+
+
+_PRED_VMEM_BUDGET = 26 * 2**20
+
+
+def _pred_group_size(N, Pp):
+    """Experts per grid step: scratch is [Bt, N, 2N + Pp] (U | W | Kst)."""
+    per = N * (2 * N + Pp) * 4
+    bt = int(_PRED_VMEM_BUDGET // per) // 8 * 8
+    return int(min(max(8, bt), _MAX_GROUP))
+
+
+def _predict_kernel(xt_ref, yt_ref, p_ref, xs_ref, mean_ref, var_ref, a_ref,
+                    *, kernel, d, N, Pp):
+    """One grid step: Bt experts. xt_ref/yt_ref/p_ref as _vg_kernel;
+    xs_ref [Bt,8,Pp] prediction coords (dim-major). mean_ref/var_ref
+    [Bt,Pp]. a_ref [Bt,N,2N+Pp]: [0,N) A->U, [N,2N) W, [2N,2N+Pp) Kst."""
+    f32 = jnp.float32
+    Bt = a_ref.shape[0]
+    woff = N
+    koff = 2 * N
+    nb = N // _T
+    scale = f32(_KERNELS[kernel])
+
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _T), 2)
+
+    yt = yt_ref[:]
+    m = xt_ref[:, 7, :]
+    sf2 = p_ref[:, 5:6]
+    noise = p_ref[:, 6:7]
+    diagv = m * (noise + f32(-1.0)) + f32(1.0)
+
+    def _rows(v, r0):
+        return jax.lax.slice_in_dim(v, r0, r0 + _T, axis=1)[:, :, None]
+
+    def _dep(v, lanes):
+        return v + jnp.zeros((Bt, 1, lanes), f32)
+
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    bmm_t = (((1,), (1,)), ((0,), (0,)))
+    kv_dims = (((2,), (2,)), ((0,), (0,)))
+
+    # ---- build A + zeroed W region (dep-chained, cf. _vg_kernel) --------
+    dep_b = jnp.zeros((Bt, 1, 1), f32)
+    for rb in range(nb):
+        r0 = rb * _T
+        sub_abs = jax.lax.broadcasted_iota(jnp.int32, (1, _T, 1), 1) + r0
+        r2 = jnp.zeros((Bt, _T, N), f32)
+        for j in range(d):
+            ls_j = p_ref[:, j:j + 1]
+            xj = xt_ref[:, j, :] / ls_j
+            dj = _rows(xj, r0) - xj[:, None, :]
+            r2 = r2 + dj * dj
+        K = sf2[:, :, None] * _phi(kernel, r2 * scale, f32) + _dep(dep_b, N)
+        mm = _rows(m, r0) * m[:, None, :]
+        dterm = jnp.where(lane_n == sub_abs,
+                          _rows(diagv, r0)
+                          + jnp.zeros((Bt, _T, N), f32), f32(0.0))
+        tile = K * mm + dterm
+        a_ref[:, r0:r0 + _T, :N] = tile
+        a_ref[:, r0:r0 + _T, woff:woff + N] = jnp.zeros((Bt, _T, N), f32)
+        dep_b = tile[:, :1, :1] * f32(0.0)
+
+    # ---- factor + tile inverses + trsm + trailing (cf. _vg_kernel) ------
+    logdet = jnp.zeros((Bt, 1, 1), f32)
+    for kb in range(nb):
+        base = kb * _T
+        logdet = _factor_tile_and_invert(a_ref, base, woff + base, logdet,
+                                         Bt)
+        if base + _T < N:
+            wkk = a_ref[:, base:base + _T, woff + base:woff + base + _T]
+            arest = a_ref[:, base:base + _T, base + _T:N]
+            urest = dot(wkk, arest, dimension_numbers=bmm_t)
+            a_ref[:, base:base + _T, base + _T:N] = urest
+        for ib in range(kb + 1, nb):
+            u_ki = a_ref[:, base:base + _T, ib * _T:(ib + 1) * _T]
+            u_krest = a_ref[:, base:base + _T, ib * _T:N]
+            g = dot(u_ki, u_krest, dimension_numbers=bmm_t)
+            a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:N] = (
+                a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:N] - g)
+
+    # ---- off-diagonal W blocks (cf. _vg_kernel) --------------------------
+    dep_w = jnp.zeros((Bt, 1, 1), f32)
+    for jb in range(nb):
+        wj = woff + jb * _T
+        for i in range(jb - 1, -1, -1):
+            acc = jnp.zeros((Bt, _T, _T), f32) + _dep(dep_w, _T)
+            for k in range(i + 1, jb + 1):
+                u_ik = a_ref[:, i * _T:(i + 1) * _T, k * _T:(k + 1) * _T]
+                w_kj = a_ref[:, k * _T:(k + 1) * _T, wj:wj + _T]
+                acc = acc + dot(u_ik, w_kj, dimension_numbers=bmm)
+            w_ii = a_ref[:, i * _T:(i + 1) * _T,
+                         woff + i * _T:woff + (i + 1) * _T]
+            wij = -dot(w_ii, acc, dimension_numbers=bmm)
+            a_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = wij
+            dep_w = wij[:, :1, :1] * f32(0.0)
+
+    # ---- alpha row (cf. _vg_kernel) --------------------------------------
+    y_row = yt[:, None, :]
+    t1 = jnp.zeros((Bt, 1, N), f32)
+    dep_t = jnp.zeros((Bt, 1, 1), f32)
+    for rb in range(nb):
+        r0 = rb * _T
+        y_rb = jax.lax.slice_in_dim(y_row, r0, r0 + _T, axis=2)
+        w_rows = a_ref[:, r0:r0 + _T, woff:woff + N] + _dep(dep_t, N)
+        t1 = t1 + dot(y_rb, w_rows, dimension_numbers=bmm)
+        dep_t = t1[:, :1, :1] * f32(0.0)
+    pieces = []
+    for ib in range(nb):
+        w_rows = a_ref[:, ib * _T:(ib + 1) * _T, woff:woff + N] \
+            + _dep(dep_t, N)
+        pieces.append(dot(t1, w_rows, dimension_numbers=kv_dims))
+        dep_t = pieces[-1][:, :1, :1] * f32(0.0)
+    alpha_rowvec = jnp.concatenate(pieces, axis=2)                # [Bt,1,N]
+
+    # ---- Kst panels into scratch (data rows x prediction lanes) ---------
+    dep_k = dep_t
+    for rb in range(nb):
+        r0 = rb * _T
+        r2 = jnp.zeros((Bt, _T, Pp), f32)
+        for j in range(d):
+            ls_j = p_ref[:, j:j + 1]
+            xj = xt_ref[:, j, :] / ls_j
+            sj = xs_ref[:, j, :] / ls_j                           # [Bt,Pp]
+            dj = _rows(xj, r0) - sj[:, None, :]
+            r2 = r2 + dj * dj
+        kst = (sf2[:, :, None] * _phi(kernel, r2 * scale, f32)
+               * _rows(m, r0)) + _dep(dep_k, Pp)
+        a_ref[:, r0:r0 + _T, koff:koff + Pp] = kst
+        dep_k = kst[:, :1, :1] * f32(0.0)
+
+    # ---- mean row --------------------------------------------------------
+    mean_row = jnp.zeros((Bt, 1, Pp), f32)
+    for rb in range(nb):
+        r0 = rb * _T
+        a_rb = jax.lax.slice_in_dim(alpha_rowvec, r0, r0 + _T, axis=2)
+        kst_rb = a_ref[:, r0:r0 + _T, koff:koff + Pp]
+        mean_row = mean_row + dot(a_rb, kst_rb, dimension_numbers=bmm)
+
+    # ---- variance: sum over T1 = W^T Kst row panels ----------------------
+    # the (nb_n, rb) block pairs share no data; a mailbox in the dead A
+    # region serialises the nb_n groups (cf. the vg kernel's gradient loop)
+    a_ref[:, 0:1, 0:_T] = jnp.zeros((Bt, 1, _T), f32)
+    var_acc = jnp.zeros((Bt, 1, Pp), f32)
+    for nb_n in range(nb):
+        mbox = a_ref[:, 0:1, 0:_T]
+        gate = mbox == mbox
+        t1p = jnp.zeros((Bt, _T, Pp), f32)
+        for rb in range(nb):
+            w_blk = jnp.where(
+                gate, a_ref[:, rb * _T:(rb + 1) * _T,
+                            woff + nb_n * _T:woff + (nb_n + 1) * _T],
+                f32(0.0))
+            kst_rb = a_ref[:, rb * _T:(rb + 1) * _T, koff:koff + Pp]
+            t1p = t1p + dot(w_blk, kst_rb, dimension_numbers=bmm_t)
+        var_acc = var_acc + jnp.sum(t1p * t1p, axis=1, keepdims=True)
+        a_ref[:, 0:1, 0:_T] = var_acc[:, :, :1] + jnp.zeros((Bt, 1, _T),
+                                                            f32)
+
+    var_row = sf2[:, :, None] - var_acc
+    mean_ref[:] = mean_row[:, 0, :] + jnp.zeros((Bt, Pp), f32)
+    var_ref[:] = var_row[:, 0, :] + jnp.zeros((Bt, Pp), f32)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "d", "interpret"))
+def _predict_call(xt, yt, p, xs, *, kernel, d, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp, _, N = xt.shape
+    Pp = xs.shape[2]
+    bt = _pred_group_size(N, Pp)
+    G = Bp // bt
+    kern = functools.partial(_predict_kernel, kernel=kernel, d=d, N=N,
+                             Pp=Pp)
+    z = np.int32(0)
+    mean, var = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((Bp, Pp), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, Pp), jnp.float32)),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((bt, 8, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, N), lambda i: (i, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8), lambda i: (i, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8, Pp), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((bt, Pp), lambda i: (i, z),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bt, Pp), lambda i: (i, z),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((bt, N, 2 * N + Pp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xt, yt, p, xs)
+    return mean, var
+
+
+def posterior_predict_batched(params, X, y, maskf, Xs, kernel, jitter,
+                              interpret=None):
+    """Batched posterior prediction via the fused kernel.
+
+    params/X/y/maskf as nlml_vg_batched; Xs [B, P, D]. Returns the
+    prediction dict of ops.gpr.predict: 'f*' [B, P], 'f*_var' (clamped >= 0)
+    and 'y_var' = f*_var + likelihood_variance.
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    B, N, D = X.shape
+    P = Xs.shape[1]
+    f32 = jnp.float32
+    N_pad = int(-(-N // _T) * _T)
+    P_pad = int(-(-P // _T) * _T)
+    bt = _pred_group_size(N_pad, P_pad)
+    B_pad = int(-(-B // bt) * bt)
+
+    Xf = jnp.asarray(X, f32)
+    mf = jnp.asarray(maskf, f32)
+    yf = jnp.asarray(y, f32) * mf
+
+    xt = jnp.zeros((B, 8, N_pad), f32)
+    xt = xt.at[:, :D, :N].set(jnp.swapaxes(Xf, 1, 2))
+    xt = xt.at[:, 7, :N].set(mf)
+    yt = jnp.zeros((B, N_pad), f32)
+    yt = yt.at[:, :N].set(yf)
+    xs = jnp.zeros((B, 8, P_pad), f32)
+    xs = xs.at[:, :D, :P].set(jnp.swapaxes(jnp.asarray(Xs, f32), 1, 2))
+
+    ls_in = jnp.asarray(params["lengthscales"], f32).reshape(B, -1)
+    ls = jnp.broadcast_to(ls_in, (B, D)) if (ls_in.shape[1] == 1 and D > 1) \
+        else ls_in
+    sf2 = jnp.asarray(params["kernel_variance"], f32).reshape(B)
+    sn2 = jnp.asarray(params["likelihood_variance"], f32).reshape(B)
+    p = jnp.zeros((B, 8), f32)
+    p = p.at[:, :D].set(ls)
+    p = p.at[:, 5].set(sf2)
+    p = p.at[:, 6].set(sn2 + f32(jitter))
+
+    if B_pad != B:
+        pad = B_pad - B
+        xt = jnp.concatenate([xt, jnp.zeros((pad, 8, N_pad), f32)], axis=0)
+        yt = jnp.concatenate([yt, jnp.zeros((pad, N_pad), f32)], axis=0)
+        xs = jnp.concatenate([xs, jnp.zeros((pad, 8, P_pad), f32)], axis=0)
+        p_tail = jnp.zeros((pad, 8), f32).at[:, :D].set(1.0)
+        p_tail = p_tail.at[:, 5].set(1.0).at[:, 6].set(1.0)
+        p = jnp.concatenate([p, p_tail], axis=0)
+
+    mean, var = _predict_call(xt, yt, p, xs, kernel=kernel, d=D,
+                              interpret=interpret)
+    f_var = jnp.maximum(var[:B, :P], 0.0)
+    return {"f*": mean[:B, :P], "f*_var": f_var,
+            "y_var": f_var + sn2[:, None]}

@@ -216,3 +216,73 @@ def test_lbfgs_pool_pallas_vg_wiring(monkeypatch):
     np.testing.assert_allclose(got["preds"]["f*"][same_basin],
                                base["preds"]["f*"][same_basin],
                                rtol=5e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused posterior prediction kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kernel", ["Matern32", "RBF"])
+def test_pallas_predict_matches_xla(kernel):
+    from gpsat_tpu.ops.gpr import predict
+    from gpsat_tpu.ops.pallas_gpr import posterior_predict_batched
+
+    rng = np.random.default_rng(0)
+    B, N, P, D = 5, 200, 180, 3
+    X = rng.uniform(-4, 4, (B, N, D)).astype(np.float32)
+    y = rng.standard_normal((B, N)).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    mask[0, 150:] = False
+    mask[3, 10:] = False
+    Xs = rng.uniform(-4, 4, (B, P, D)).astype(np.float32)
+    params = {
+        "lengthscales": jnp.asarray(rng.uniform(0.5, 3, (B, D)), jnp.float32),
+        "kernel_variance": jnp.asarray(rng.uniform(0.5, 2, B), jnp.float32),
+        "likelihood_variance": jnp.asarray(rng.uniform(0.01, 0.2, B),
+                                           jnp.float32)}
+    got = posterior_predict_batched(params, X, y, mask.astype(np.float32),
+                                    Xs, kernel, 1e-6, interpret=True)
+    want = jax.vmap(lambda p, x, yy, mm, xs: predict(
+        p, x, yy, mm, xs, kernel, 1e-6))(
+        params, jnp.asarray(X), jnp.asarray(y), jnp.asarray(mask),
+        jnp.asarray(Xs))
+    for k in ("f*", "f*_var", "y_var"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+
+
+def test_pallas_predict_engine_wiring(monkeypatch):
+    """Engine fit_predict with the Pallas prediction path forced on
+    (interpret): predictions must match the XLA run at optimiser-level
+    tolerance."""
+    from gpsat_tpu.models.batched import BatchedGPR
+    from gpsat_tpu.ops import pallas_gpr
+    from gpsat_tpu.models import batched as batched_mod
+
+    B, N, D = 3, 96, 2
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-3, 3, (B, N, D))
+    y = np.sin(X[..., 0]) + 0.1 * rng.standard_normal((B, N))
+    y = y - y.mean(axis=1, keepdims=True)
+    mask = np.ones((B, N), dtype=bool)
+    mask[0, 80:] = False
+    Xs = np.tile(np.linspace(-2, 2, 5)[None, :, None], (B, 1, D))
+
+    def run():
+        eng = BatchedGPR(coords_dim=D, kernel="Matern32",
+                         optim_kwargs={"max_iter": 300},
+                         dtype=jnp.float32, jitter=1e-6)
+        return eng.fit_predict(X, y, mask, Xs=Xs, optimise=False,
+                               predict=True)
+
+    base = run()
+    monkeypatch.setattr(pallas_gpr, "_FORCE_SUPPORTED", True)
+    monkeypatch.setattr(pallas_gpr, "_INTERPRET", True)
+    batched_mod._gpr_fit_predict.clear_cache()
+    got = run()
+    batched_mod._gpr_fit_predict.clear_cache()
+
+    for k in ("f*", "f*_var", "y_var"):
+        np.testing.assert_allclose(np.asarray(got["preds"][k]),
+                                   np.asarray(base["preds"][k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
