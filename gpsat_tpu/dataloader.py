@@ -35,6 +35,13 @@ class DataLoader:
         "parquet": "read_parquet",
         "pkl": "read_pickle",
         "npy": "npy",
+        # netCDF reads natively via gpsat_tpu.ncio (h5py for netCDF4,
+        # scipy.io for netCDF3); zarr requires the optional zarr/xarray deps
+        # (reference suffix map: GPSat/dataloader.py:32-33)
+        "nc": "netcdf",
+        "nc4": "netcdf",
+        "cdf": "netcdf",
+        "zarr": "zarr",
     }
 
     # ------------------------------------------------------------------
@@ -133,6 +140,15 @@ class DataLoader:
             return ResultsStore(source, mode="r")
         if _engine == "npy":
             return pd.DataFrame(np.load(source, **kwargs))
+        if _engine in ("netcdf", "nc", "xarray"):
+            from gpsat_tpu import ncio
+            if ncio.have_xarray():
+                import xarray as xr
+                return xr.open_dataset(source, **kwargs)
+            return ncio.read_netcdf(source, **kwargs)
+        if _engine == "zarr":
+            from gpsat_tpu import ncio
+            return ncio.open_zarr(source, **kwargs)
         reader = getattr(pd, _engine, None)
         assert reader is not None, f"engine: {_engine} is not a pandas reader"
         return reader(source, **kwargs)
@@ -153,6 +169,36 @@ class DataLoader:
                 obj.close()
             if reset_index:
                 df = df.reset_index()
+            return df
+
+        # gridded sources (native NcDataset, or xarray Dataset/DataArray when
+        # installed) — where conditions on coordinate dimensions push down
+        # BEFORE densification (reference: GPSat/dataloader.py:1126-1155)
+        if hasattr(obj, "data_vars") and hasattr(obj, "to_dataframe"):
+            from gpsat_tpu.ncio import NcDataset
+            if isinstance(obj, NcDataset):
+                sub, leftover = obj.sel_where(where)
+                df = sub.to_dataframe()
+            else:   # xarray duck type
+                coord_names = set(getattr(obj, "coords", {}))
+                pushed = [w for w in (where or [])
+                          if w.get("col") in coord_names]
+                leftover = [w for w in (where or []) if w not in pushed]
+                out = obj
+                for wd in pushed:
+                    wd = dict(wd)
+                    negate = wd.pop("negate", False)
+                    m = cls._bool_numpy_from_where(
+                        pd.DataFrame({wd["col"]:
+                                      np.asarray(out.coords[wd["col"]])}), wd)
+                    out = out.isel(**{wd["col"]: (~m if negate else m)})
+                df = out.to_dataframe().dropna(axis=0, how="all").reset_index()
+            if leftover:
+                df = df.loc[cls.row_select_bool(df, row_select=leftover)]
+            if columns is not None:
+                df = df.loc[:, columns]
+            if reset_index:
+                df = df.reset_index(drop=drop)
             return df
 
         if isinstance(obj, pd.Series):
@@ -516,6 +562,22 @@ class DataLoader:
         if sort_by:
             df = df.sort_values(sort_by)
         return df.reset_index(drop=True)
+
+    # ------------------------------------------------------------------
+    # netCDF write
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def write_to_netcdf(ds, path, mode="w", **to_netcdf_kwargs):
+        """Write a gridded dataset (NcDataset or xarray Dataset) to netCDF
+        (reference: GPSat/dataloader.py:776). xarray objects use their own
+        writer when the package is installed; otherwise the native
+        dimension-scale HDF5 writer (gpsat_tpu.ncio) handles both."""
+        if hasattr(ds, "to_netcdf"):
+            ds.to_netcdf(path=path, mode=mode, **to_netcdf_kwargs)
+            return path
+        from gpsat_tpu.ncio import write_netcdf
+        return write_netcdf(ds, path, mode=mode, **to_netcdf_kwargs)
 
     # ------------------------------------------------------------------
     # multi-index helpers

@@ -118,8 +118,10 @@ class LocalExpertOI:
             self.set_model(**model_config)
         if expert_loc_config is not None:
             self.set_expert_locations(**expert_loc_config)
-        if pred_loc_config is not None:
-            self.set_pred_loc(**(pred_loc_config or {}))
+        # like the reference (GPSat/local_experts.py:254-260 via
+        # _none_to_dict_check), a missing pred_loc config defaults to
+        # PredictionLocations(method="expert_loc") — predict at the expert
+        self.set_pred_loc(**(pred_loc_config or {}))
 
     # ------------------------------------------------------------------
     # configuration
@@ -388,13 +390,23 @@ class LocalExpertOI:
             has_pred = n_pred > 0
         else:
             has_pred = np.ones(E, dtype=bool)
-        skip_no_pred = ~has_pred          # reference 'continue's silently
         too_few = (n_obs < min_obs) & has_pred
         run_ids = np.where(runnable & has_pred)[0]
 
         store_buffer = {}
         device = _device_name()
         model_name = pretty_print_class(self.model)[:64]
+
+        # record zero-pred-loc experts so restarts skip them (the reference
+        # 'continue's silently with a TODO admitting they should be stored —
+        # GPSat/local_experts.py:962-965)
+        for i in np.where(~has_pred)[0]:
+            rd = self._run_details_row(xprt_locs.iloc[i], coords_col,
+                                       num_obs=int(n_obs[i]), run_time=np.nan,
+                                       objective=np.nan, optimise=optimise,
+                                       success=False, model_name=model_name,
+                                       device="", config_id=config_id)
+            self._buffer(store_buffer, "run_details", rd)
 
         # record too-few-obs experts so restarts skip them
         # (reference: GPSat/local_experts.py:988-1012)
@@ -568,8 +580,16 @@ class LocalExpertOI:
     def _gather_pred_locations(self, xprt_locs, coords_col, predict=True):
         """Per-expert prediction coordinate arrays (raw units)."""
         E = len(xprt_locs)
-        if not predict or self.pred_loc is None:
+        if not predict:
             return [None] * E
+        if self.pred_loc is None:
+            # no pred_loc was ever configured (setters used piecemeal):
+            # default to predicting at the expert location like the reference.
+            # Built directly (not via set_pred_loc) so the config identity
+            # computed at the top of run() is not mutated afterwards.
+            self.pred_loc = PredictionLocations()
+        if self.pred_loc.coords_col is None:
+            self.pred_loc.coords_col = coords_col
         out = []
         for i in range(E):
             self.pred_loc.expert_loc = xprt_locs.iloc[[i]]

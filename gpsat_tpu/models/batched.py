@@ -27,9 +27,11 @@ __all__ = ["BatchedGPR"]
 
 
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
-                                   "do_predict", "max_iter", "gtol", "ftol"))
+                                   "do_predict", "max_iter", "gtol", "ftol",
+                                   "compute_fval"))
 def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
-                     free_names, d, optimise, do_predict, max_iter, gtol, ftol):
+                     free_names, d, optimise, do_predict, max_iter, gtol,
+                     ftol, compute_fval=True):
     """One device program: (optional) batched L-BFGS fit + masked batched
     posterior prediction for a [B, N(, P)] bucket."""
     objective, spec = make_gpr_objective(kernel, free_names, d)
@@ -48,9 +50,15 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
             ftol, 10, 12, "custom", vg_fun=vg_fun)
     else:
         u = u0
-        fval = jax.vmap(lambda ui, xi, yi, mi, bi, fi:
-                        objective(ui, xi, yi, mi, bi, fi))(
-            u0, X, y, mask, bijectors, fixed)
+        if compute_fval:
+            fval = jax.vmap(lambda ui, xi, yi, mi, bi, fi:
+                            objective(ui, xi, yi, mi, bi, fi))(
+                u0, X, y, mask, bijectors, fixed)
+        else:
+            # prediction-fill path: the caller discards fval — skipping the
+            # vmapped bordered-Cholesky objective avoids its [B,N,N] HBM
+            # temporaries (at N_pad=1024 each is ~4.3 GB on 16 GB v5e)
+            fval = jnp.zeros(u0.shape[0], dtype=X.dtype)
         conv = jnp.zeros(u0.shape[0], dtype=bool)
         iters = jnp.zeros(u0.shape[0], dtype=jnp.int32)
 
@@ -236,12 +244,13 @@ class BatchedGPR:
                                   optimise, do_predict)
 
     def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
-                      do_predict):
+                      do_predict, compute_fval=True):
         return _gpr_fit_predict(
             u0, X, y, jnp.asarray(mask), Xs_in, bij_b, fixed,
             kernel=self.kernel, free_names=self.free_names, d=self.d,
             optimise=bool(optimise), do_predict=bool(do_predict),
-            max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol)
+            max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
+            compute_fval=bool(compute_fval))
 
     def _snapshot_state(self):
         """Engine side-state captured before a collapse-restart re-run
@@ -494,9 +503,13 @@ class BatchedGPR:
         B_fill = B
         if do_predict and type(self) is BatchedGPR:
             from gpsat_tpu.ops.pallas_gpr import pallas_predict_supported
+            from gpsat_tpu.parallel.scheduler import bucket_level
             if pallas_predict_supported(self.kernel, self.d, X.shape[1],
                                         np.asarray(Xs).shape[1]):
-                B_fill = min(E, 1024)
+                # canonical power-of-two chunk width so one program shape
+                # covers every E (a data-dependent min(E, 1024) costs a 5-10
+                # min remote compile per distinct sweep size)
+                B_fill = min(1024, bucket_level(E))
         B = B_fill
         bij_chunk = jax.tree.map(
             lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
@@ -524,7 +537,8 @@ class BatchedGPR:
                 jnp.asarray(u[pad], dtype=self.dtype),
                 jnp.asarray(X_np[pad], dtype=self.dtype),
                 jnp.asarray(y_np[pad], dtype=self.dtype), mask_np[pad],
-                Xs_in, bij_chunk, fixed_chunk, False, do_predict)
+                Xs_in, bij_chunk, fixed_chunk, False, do_predict,
+                compute_fval=False)
             pending.append((ids, p_chunk, pr))
 
         for ids, p_chunk, pr in pending:
@@ -575,10 +589,10 @@ def make_sgpr_objective(kernel, free_names, d, jitter):
 
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
                                    "do_predict", "max_iter", "gtol", "ftol",
-                                   "jitter", "train_z"))
+                                   "jitter", "train_z", "compute_fval"))
 def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
                       kernel, free_names, d, optimise, do_predict, max_iter,
-                      gtol, ftol, jitter, train_z=False):
+                      gtol, ftol, jitter, train_z=False, compute_fval=True):
     """Batched SGPR: L-BFGS on the collapsed negative ELBO + posterior.
 
     train_z packs the inducing locations [M, d] into the L-BFGS vector
@@ -611,7 +625,11 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
             max_iter, gtol, ftol, 10, 12, "custom")
     else:
         u = u0
-        fval = jax.vmap(objective)(u0, X, y, mask, Z, zmask, bijectors, fixed)
+        if compute_fval:
+            fval = jax.vmap(objective)(u0, X, y, mask, Z, zmask, bijectors,
+                                       fixed)
+        else:
+            fval = jnp.zeros(u0.shape[0], dtype=X.dtype)
         conv = jnp.zeros(u0.shape[0], dtype=bool)
         iters = jnp.zeros(u0.shape[0], dtype=jnp.int32)
 
@@ -749,7 +767,7 @@ class BatchedSGPR(BatchedGPR):
             self._Z_final[keep1] = state1["Z"][keep1]
 
     def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
-                      do_predict):
+                      do_predict, compute_fval=True):
         train_z = bool(self.train_inducing_points) and bool(optimise)
         if train_z:
             Zf = jnp.asarray(self._Z, dtype=self.dtype).reshape(u0.shape[0], -1)
@@ -760,7 +778,8 @@ class BatchedSGPR(BatchedGPR):
             kernel=self.kernel, free_names=self.free_names, d=self.d,
             optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
-            jitter=self.jitter, train_z=train_z)
+            jitter=self.jitter, train_z=train_z,
+            compute_fval=bool(compute_fval))
         self._Z_final = np.array(Z)
         return params, fval, conv, iters, preds
 
@@ -1102,7 +1121,7 @@ class BatchedSVGP(BatchedSGPR):
             self._qs_final[keep1] = state1["qs"][keep1]
 
     def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
-                      do_predict):
+                      do_predict, compute_fval=True):
         (params, fval, conv, iters, preds, qm, qs, z) = _svgp_fit_predict(
             u0, jnp.asarray(self._qm0, dtype=self.dtype),
             jnp.asarray(self._qs0, dtype=self.dtype),
@@ -1150,10 +1169,11 @@ def make_vff_objective(mathmod, kernel, free_names, d, ms, jitter):
 
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "ms",
                                    "optimise", "do_predict", "max_iter",
-                                   "gtol", "ftol", "jitter", "mathmod"))
+                                   "gtol", "ftol", "jitter", "mathmod",
+                                   "compute_fval"))
 def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
                      free_names, d, ms, optimise, do_predict, max_iter, gtol,
-                     ftol, jitter, mathmod=None):
+                     ftol, jitter, mathmod=None, compute_fval=True):
     from gpsat_tpu.ops import vff as vff_math
     from gpsat_tpu.ops.packing import ParamSpec
     if mathmod is None:
@@ -1177,7 +1197,10 @@ def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
             max_iter, gtol, ftol, 10, 12, "custom")
     else:
         u = u0
-        fval = jax.vmap(objective)(u0, X, y, mask, a, b, bijectors, fixed)
+        if compute_fval:
+            fval = jax.vmap(objective)(u0, X, y, mask, a, b, bijectors, fixed)
+        else:
+            fval = jnp.zeros(u0.shape[0], dtype=X.dtype)
         conv = jnp.zeros(u0.shape[0], dtype=bool)
         iters = jnp.zeros(u0.shape[0], dtype=jnp.int32)
 
@@ -1295,7 +1318,7 @@ class BatchedVFF(BatchedGPR):
         return out
 
     def _call_program(self, u0, X, y, mask, Xs_in, bij_b, fixed, optimise,
-                      do_predict):
+                      do_predict, compute_fval=True):
         return _vff_fit_predict(
             u0, X, y, jnp.asarray(mask),
             jnp.asarray(self._a, dtype=self.dtype),
@@ -1303,7 +1326,8 @@ class BatchedVFF(BatchedGPR):
             kernel=self.kernel, free_names=self.free_names, d=self.d,
             ms=self.ms, optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
-            jitter=self.jitter, mathmod=self._math)
+            jitter=self.jitter, mathmod=self._math,
+            compute_fval=bool(compute_fval))
 
     # -- pooled execution hooks ----------------------------------------------
 

@@ -102,12 +102,38 @@ _INTERPRET = False
 _FORCE_SUPPORTED = False
 
 
+def _pad_t(n):
+    """Round up to the 128-lane panel size."""
+    return int(-(-int(n) // _T) * _T)
+
+
+def _fits_vmem(per_expert_scratch, io_per_expert):
+    """True when the minimum group (bt=8, the Mosaic sublane floor) fits the
+    scoped-VMEM limit: scratch + double-buffered IO blocks + margin. The
+    group-size helpers floor bt at 8, so any shape failing this check would
+    crash Mosaic compilation at runtime instead of falling back to XLA
+    (advisor finding: _pred_group_size at N_pad=1024, P_pad>~1660)."""
+    margin = 4 * 2**20
+    return 8 * (per_expert_scratch + 2 * io_per_expert) + margin <= _VMEM_LIMIT
+
+
+def _value_scratch_per_expert(N):
+    return N * (N + 2 * _T) * 4
+
+
+def _value_io_per_expert(N):
+    return (8 * N + N + 8 + _T) * 4          # xt + yt + p + out
+
+
 def pallas_value_supported(kernel, d, N=None):
     """Can the fused kernel handle this configuration on this platform?"""
     import os
     if os.environ.get("GPSAT_DISABLE_PALLAS_VALUE"):
         return False
     if kernel not in _KERNELS or d > _MAX_D:
+        return False
+    if N is not None and not _fits_vmem(_value_scratch_per_expert(_pad_t(N)),
+                                        _value_io_per_expert(_pad_t(N))):
         return False
     if _FORCE_SUPPORTED:
         return True
@@ -123,7 +149,7 @@ def _group_size(N):
     """Experts per grid step, sized so the [Bt, N, N+2T] scratch (A + y
     border + tile-inverse workspace) fits the VMEM budget. Bt must be a
     multiple of 8 (Mosaic block-shape sublane constraint)."""
-    per = N * (N + 2 * _T) * 4
+    per = _value_scratch_per_expert(N)
     bt = max(8, int(_VMEM_BUDGET // per) // 8 * 8)
     return int(min(bt, _MAX_GROUP))
 
@@ -485,8 +511,12 @@ def pallas_vg_supported(kernel, d, N=None):
         return False
     if not pallas_value_supported(kernel, d, N):
         return False
-    if N is not None and -(-N // _T) * _T > 1024:
-        return False
+    if N is not None:
+        Np = _pad_t(N)
+        if Np > 1024:
+            return False
+        if not _fits_vmem(Np * 2 * Np * 4, _value_io_per_expert(Np)):
+            return False
     return True
 
 
@@ -827,10 +857,16 @@ def pallas_predict_supported(kernel, d, N=None, P=None):
         return False
     if not pallas_value_supported(kernel, d, N):
         return False
-    if N is not None and -(-N // _T) * _T > 1024:
+    if N is not None and _pad_t(N) > 1024:
         return False
-    if P is not None and -(-P // _T) * _T > 2048:
+    if P is not None and _pad_t(P) > 2048:
         return False
+    if N is not None and P is not None:
+        Np, Pp = _pad_t(N), _pad_t(P)
+        scratch = Np * (2 * Np + Pp) * 4
+        io = _value_io_per_expert(Np) + (8 * Pp + 2 * Pp) * 4   # + xs, mean, var
+        if not _fits_vmem(scratch, io):
+            return False
     return True
 
 

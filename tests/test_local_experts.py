@@ -276,6 +276,75 @@ def test_min_obs_skip_recorded(tmp_path):
     assert np.isnan(rd.loc[1000.0, "objective_value"])
 
 
+def test_default_pred_loc_is_expert_loc(tmp_path):
+    """No pred_loc config → predict at the expert location, matching the
+    reference default (GPSat/local_experts.py:254-260 via _none_to_dict_check
+    → PredictionLocations(method='expert_loc'))."""
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"x": rng.uniform(-10, 10, 60),
+                       "y": rng.uniform(-10, 10, 60),
+                       "z": rng.standard_normal(60), "t": 0.0})
+    eloc = pd.DataFrame({"x": [0.0, 5.0], "y": [0.0, -5.0], "t": 0.0})
+    locexp = LocalExpertOI(
+        expert_loc_config={"source": eloc},
+        data_config={"data_source": df, "obs_col": "z",
+                     "coords_col": ["x", "y", "t"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<", "val": 50}]},
+        model_config={"oi_model": "GPRModel"})
+    store = str(tmp_path / "s.h5")
+    locexp.run(store_path=store, optimise=True, check_config_compatible=False,
+               verbose=False)
+    dfs, _ = get_results_from_h5file(store)
+    preds = dfs["preds"]
+    assert len(preds) == 2, "one prediction per expert at the expert location"
+    merged = preds.set_index("x")
+    for _, r in eloc.iterrows():
+        assert np.isclose(merged.loc[r["x"], "pred_loc_x"], r["x"])
+        assert np.isclose(merged.loc[r["x"], "pred_loc_y"], r["y"])
+    assert dfs["run_details"]["optimise_success"].all()
+
+
+def test_zero_pred_loc_recorded(tmp_path):
+    """Experts whose radius-culled prediction set is empty still get a
+    run_details row so resume does not re-attempt them (the reference
+    'continue's with a TODO — GPSat/local_experts.py:962-965)."""
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"x": rng.uniform(-10, 10, 60),
+                       "y": rng.uniform(-10, 10, 60),
+                       "z": rng.standard_normal(60), "t": 0.0})
+    eloc = pd.DataFrame({"x": [0.0, 8.0], "y": [0.0, 8.0], "t": 0.0})
+    # prediction grid only near the first expert
+    ploc = pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 1.0]})
+    locexp = LocalExpertOI(
+        expert_loc_config={"source": eloc},
+        data_config={"data_source": df, "obs_col": "z",
+                     "coords_col": ["x", "y", "t"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<", "val": 50}]},
+        model_config={"oi_model": "GPRModel"},
+        pred_loc_config={"method": "from_dataframe", "df": ploc,
+                         "max_dist": 3.0})
+    store = str(tmp_path / "s.h5")
+    locexp.run(store_path=store, optimise=True, check_config_compatible=False,
+               verbose=False)
+    dfs, _ = get_results_from_h5file(store)
+    rd = dfs["run_details"].set_index("x")
+    assert len(rd) == 2, "zero-pred expert must appear in run_details"
+    assert np.isnan(rd.loc[8.0, "objective_value"])
+    # resume: nothing left to run
+    locexp2 = LocalExpertOI(
+        expert_loc_config={"source": eloc},
+        data_config={"data_source": df, "obs_col": "z",
+                     "coords_col": ["x", "y", "t"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<", "val": 50}]},
+        model_config={"oi_model": "GPRModel"},
+        pred_loc_config={"method": "from_dataframe", "df": ploc,
+                         "max_dist": 3.0})
+    locexp2.run(store_path=store, optimise=True,
+                check_config_compatible=False, verbose=False)
+    dfs2, _ = get_results_from_h5file(store)
+    assert len(dfs2["run_details"]) == 2, "resume must not re-run skipped experts"
+
+
 # ---------------------------------------------------------------------------
 # scheduler unit tests
 # ---------------------------------------------------------------------------

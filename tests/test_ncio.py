@@ -1,0 +1,136 @@
+"""Native netCDF IO: round-trips through the h5py dimension-scale writer,
+netCDF3 via scipy, DataLoader engine integration and where pushdown.
+(Reference surface: GPSat/dataloader.py:32-33,388-389,776,1126-1155.)
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu import ncio
+from gpsat_tpu.dataloader import DataLoader
+
+
+@pytest.fixture
+def grid_ds():
+    x = np.linspace(-100.0, 100.0, 9)
+    y = np.linspace(-50.0, 50.0, 5)
+    t = np.array([0.0, 1.0, 2.0])
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal((3, 5, 9))
+    sic = rng.uniform(0, 1, (5, 9))
+    return ncio.NcDataset(
+        data_vars={"z": ncio.NcVariable(("t", "y", "x"), z,
+                                        {"units": "m"}),
+                   "sic": ncio.NcVariable(("y", "x"), sic)},
+        coords={"x": x, "y": y, "t": t},
+        attrs={"title": "synthetic"})
+
+
+def test_netcdf4_roundtrip(tmp_path, grid_ds):
+    path = str(tmp_path / "grid.nc")
+    ncio.write_netcdf(grid_ds, path)
+    back = ncio.read_netcdf(path)
+    assert set(back.data_vars) == {"z", "sic"}
+    assert back.data_vars["z"].dims == ("t", "y", "x")
+    np.testing.assert_allclose(back.coords["x"], grid_ds.coords["x"])
+    np.testing.assert_allclose(back.data_vars["z"].values,
+                               grid_ds.data_vars["z"].values)
+    assert back.attrs["title"] == "synthetic"
+    assert back.data_vars["z"].attrs["units"] == "m"
+
+
+def test_netcdf3_read(tmp_path):
+    from scipy.io import netcdf_file
+    path = str(tmp_path / "classic.nc")
+    with netcdf_file(path, "w") as f:
+        f.createDimension("x", 4)
+        xv = f.createVariable("x", "d", ("x",))
+        xv[:] = np.arange(4.0)
+        zv = f.createVariable("z", "d", ("x",))
+        zv[:] = np.array([1.0, 2.0, 3.0, 4.0])
+    ds = ncio.read_netcdf(path)
+    np.testing.assert_allclose(ds.coords["x"], np.arange(4.0))
+    np.testing.assert_allclose(ds.data_vars["z"].values, [1, 2, 3, 4])
+
+
+def test_to_dataframe_union_and_dropna(grid_ds):
+    grid_ds.data_vars["z"].values[0, 0, 0] = np.nan
+    df = grid_ds.to_dataframe()
+    # z spans (t,y,x)=135 rows; sic broadcasts; the NaN-z row survives
+    # because sic is finite there (dropna is how='all')
+    assert len(df) == 3 * 5 * 9
+    assert {"t", "y", "x", "z", "sic"} <= set(df.columns)
+    sub = df[(df.t == 1.0) & (df.y == 0.0)]
+    np.testing.assert_allclose(sub["z"].values,
+                               grid_ds.data_vars["z"].values[1, 2, :])
+
+
+def test_sel_where_pushdown(grid_ds):
+    sub, leftover = grid_ds.sel_where([
+        {"col": "x", "comp": ">=", "val": 0.0},
+        {"col": "t", "comp": "==", "val": 1.0},
+        {"col": "z", "comp": ">", "val": 0.0},     # data var: not pushable
+    ])
+    assert (sub.coords["x"] >= 0).all() and len(sub.coords["x"]) == 5
+    assert sub.coords["t"].tolist() == [1.0]
+    assert sub.data_vars["z"].values.shape == (1, 5, 5)
+    assert leftover == [{"col": "z", "comp": ">", "val": 0.0}]
+
+
+def test_dataloader_netcdf_engine(tmp_path, grid_ds):
+    path = str(tmp_path / "grid.nc")
+    ncio.write_netcdf(grid_ds, path)
+    df = DataLoader.load(path, where=[{"col": "t", "comp": "==", "val": 2.0},
+                                      {"col": "z", "comp": ">", "val": 0.0}])
+    assert (df["t"] == 2.0).all()
+    assert (df["z"] > 0).all()
+    assert len(df) > 0
+
+
+def test_dataloader_zarr_gate(tmp_path):
+    with pytest.raises(ImportError, match="zarr"):
+        DataLoader.load(str(tmp_path / "missing.zarr"))
+
+
+def test_dataset_from_dataframe_roundtrip():
+    df = pd.DataFrame({"x": [0.0, 0.0, 1.0], "y": [0.0, 1.0, 0.0],
+                       "v": [1.0, 2.0, 3.0]})
+    ds = ncio.dataset_from_dataframe(df, index_cols=["x", "y"])
+    v = ds.data_vars["v"].values
+    assert v.shape == (2, 2)
+    np.testing.assert_allclose(v[0], [1.0, 2.0])
+    assert v[1, 0] == 3.0 and np.isnan(v[1, 1])
+    # long-form round trip drops the unobserved cell
+    back = ds.to_dataframe()
+    assert len(back) == 3
+
+
+def test_write_to_netcdf_from_dataframe(tmp_path):
+    """Driver-export path: long results -> dense grid -> nc file."""
+    df = pd.DataFrame({"x": np.tile([0.0, 1.0, 2.0], 2),
+                       "y": np.repeat([0.0, 1.0], 3),
+                       "f": np.arange(6.0)})
+    ds = ncio.dataset_from_dataframe(df, index_cols=["y", "x"])
+    path = str(tmp_path / "out.nc")
+    DataLoader.write_to_netcdf(ds, path)
+    back = ncio.read_netcdf(path)
+    np.testing.assert_allclose(back.data_vars["f"].values,
+                               np.arange(6.0).reshape(2, 3))
+
+
+def test_decode_fill_and_scale(tmp_path):
+    import h5py
+    path = str(tmp_path / "enc.nc")
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("x", data=np.arange(3.0))
+        d.make_scale("x")
+        v = f.create_dataset("z", data=np.array([0, 10, 32767], np.int16))
+        v.dims[0].attach_scale(d)
+        v.attrs["_FillValue"] = np.int16(32767)
+        v.attrs["scale_factor"] = 0.1
+        v.attrs["add_offset"] = 5.0
+    ds = ncio.read_netcdf(path)
+    z = ds.data_vars["z"].values
+    np.testing.assert_allclose(z[:2], [5.0, 6.0])
+    assert np.isnan(z[2])

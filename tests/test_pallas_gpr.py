@@ -286,3 +286,32 @@ def test_pallas_predict_engine_wiring(monkeypatch):
         np.testing.assert_allclose(np.asarray(got["preds"][k]),
                                    np.asarray(base["preds"][k]),
                                    rtol=1e-3, atol=1e-4, err_msg=k)
+
+
+def test_supported_gates_reject_vmem_overflow(monkeypatch):
+    """Shapes whose minimum (bt=8) scratch exceeds the Mosaic scoped-VMEM
+    limit must be rejected by the supported() gates (fall back to XLA)
+    rather than crash kernel compilation at runtime."""
+    from gpsat_tpu.ops import pallas_gpr
+    monkeypatch.setattr(pallas_gpr, "_FORCE_SUPPORTED", True)
+
+    # value kernel: 8*N*(N+256)*4 exceeds the limit around N_pad ~ 1792
+    assert pallas_gpr.pallas_value_supported("Matern32", 3, N=1024)
+    assert not pallas_gpr.pallas_value_supported("Matern32", 3, N=1792)
+    assert not pallas_gpr.pallas_value_supported("Matern32", 3, N=4096)
+
+    # vg kernel: capped at N_pad 1024 (8*1024*2048*4 = 64 MiB fits)
+    assert pallas_gpr.pallas_vg_supported("Matern32", 3, N=1024)
+    assert not pallas_gpr.pallas_vg_supported("Matern32", 3, N=1025)
+
+    # predict kernel: N_pad=1024 with large P overflows 8*N*(2N+Pp)*4
+    assert pallas_gpr.pallas_predict_supported("Matern32", 3, N=1024, P=1024)
+    assert not pallas_gpr.pallas_predict_supported("Matern32", 3,
+                                                   N=1024, P=2048)
+    # group-size floor must never be reachable above the limit
+    for N in (128, 512, 1024):
+        for P in (128, 1024, 2048):
+            if pallas_gpr.pallas_predict_supported("Matern32", 3, N=N, P=P):
+                bt = pallas_gpr._pred_group_size(N, P)
+                scratch = bt * N * (2 * N + P) * 4
+                assert scratch <= pallas_gpr._VMEM_LIMIT
