@@ -332,19 +332,33 @@ class BatchedGPR:
     # -- pooled multi-chunk execution ---------------------------------------
 
     def _chunked_fit_predict(self, X, y, mask, Xs, optimise, predict,
-                             param_overrides, B):
-        """Generic fallback: sequential fit_predict over B-sized chunks."""
+                             param_overrides, B, mesh=None):
+        """Generic fallback: sequential fit_predict over B-sized chunks.
+        Under a mesh, chunk inputs are sharded over the experts axis so XLA
+        auto-partitions the vmapped programs (B is then the whole-mesh chunk
+        width and must stay a mesh multiple; ragged tails are not sharded)."""
+        from gpsat_tpu.parallel.mesh import shard_experts
         E = X.shape[0]
+        n_sh = int(mesh.size) if mesh is not None else 1
         outs = []
         el_all = self._expert_locs_scaled
+        X_np, y_np, m_np = np.asarray(X), np.asarray(y), np.asarray(mask)
+        Xs_np = None if Xs is None else np.asarray(Xs)
         for s in range(0, E, B):
             e = min(s + B, E)
             if el_all is not None:
                 self._expert_locs_scaled = el_all[s:e]
             ov = None if param_overrides is None else \
                 {k: v[s:e] for k, v in param_overrides.items()}
-            outs.append(self.fit_predict(X[s:e], y[s:e], mask[s:e],
-                                         Xs=None if Xs is None else Xs[s:e],
+            chunk = (X_np[s:e], y_np[s:e], m_np[s:e],
+                     None if Xs_np is None else Xs_np[s:e])
+            if mesh is not None and (e - s) % n_sh == 0:
+                Xc, yc, mc = shard_experts(chunk[:3], mesh)
+                Xsc = None if chunk[3] is None else \
+                    shard_experts((chunk[3],), mesh)[0]
+                chunk = (Xc, yc, mc, Xsc)
+            outs.append(self.fit_predict(chunk[0], chunk[1], chunk[2],
+                                         Xs=chunk[3],
                                          optimise=optimise, predict=predict,
                                          param_overrides=ov))
         self._expert_locs_scaled = el_all
@@ -390,7 +404,7 @@ class BatchedGPR:
         """Engine-specific output decoration (e.g. objective sign flip)."""
         return out
 
-    def _pool_optimize(self, init, X, y, mask, slots, extra=()):
+    def _pool_optimize(self, init, X, y, mask, slots, extra=(), mesh=None):
         """Pooled L-BFGS over E same-shape experts (see
         ops/lbfgs.batched_lbfgs_pool). Returns (u [E,P], f, conv, iters)."""
         from gpsat_tpu.ops.lbfgs import batched_lbfgs_pool
@@ -415,7 +429,7 @@ class BatchedGPR:
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
              np.asarray(mask)) + tuple(extra) + (bij_b, fixed),
             slots=slots, max_iter=self.max_iter,
-            gtol=self.gtol, ftol=self.ftol, vg_fun=vg_fun)
+            gtol=self.gtol, ftol=self.ftol, vg_fun=vg_fun, mesh=mesh)
         self._last_pool_iterations = int(res.pool_iterations)
         return (np.asarray(res.x), np.asarray(res.fun),
                 np.asarray(res.converged), np.asarray(res.iterations))
@@ -429,7 +443,8 @@ class BatchedGPR:
                 for n in self.free_names}
 
     def fit_predict_many(self, X, y, mask, Xs=None, optimise=True,
-                         predict=True, param_overrides=None, slots=None):
+                         predict=True, param_overrides=None, slots=None,
+                         mesh=None):
         """Sweep E same-padded-shape experts.
 
         Engines whose optimiser is L-BFGS (exact GPR; SGPR with fixed
@@ -439,14 +454,20 @@ class BatchedGPR:
         never waits for its slowest expert (measured iteration skew median
         20 / max ~45 -> 1.85x ideal compaction). Other engines / configs
         fall back to chunked fit_predict.
+
+        With `mesh`, experts shard over the mesh axis: the pool runs one
+        independent slot pool per device (`slots` is the per-device width),
+        and the chunked fallback shards each chunk for XLA auto-partitioning.
         """
         from gpsat_tpu.parallel.scheduler import auto_batch_size
         E, N = X.shape[0], X.shape[1]
         P = 0 if Xs is None else Xs.shape[1]
+        n_sh = int(mesh.size) if mesh is not None else 1
         B = int(slots or min(E, auto_batch_size(N, P)))
-        if not self._pool_supported(optimise) or E <= B:
+        if not self._pool_supported(optimise) or E <= B * n_sh:
             return self._chunked_fit_predict(X, y, mask, Xs, optimise,
-                                             predict, param_overrides, B)
+                                             predict, param_overrides,
+                                             min(B * n_sh, E), mesh=mesh)
 
         mask_np = np.asarray(mask)
         y_np = np.asarray(y)
@@ -458,7 +479,7 @@ class BatchedGPR:
         init = self._initial_params_batch(E, param_overrides, y_var=y_var,
                                           clamp=True)
         u, fval, conv, iters = self._pool_optimize(init, X, y, mask_np, B,
-                                                   extra=extra)
+                                                   extra=extra, mesh=mesh)
 
         # collapse-restart (same policy as fit_predict) on the failed subset,
         # padded to the slot width so no new program shape compiles
@@ -478,7 +499,8 @@ class BatchedGPR:
             u2, f2, c2, i2 = self._pool_optimize(
                 alt_rows, np.asarray(X)[pad_ids], y_np[pad_ids],
                 mask_np[pad_ids], B,
-                extra=tuple(np.asarray(a)[pad_ids] for a in extra))
+                extra=tuple(np.asarray(a)[pad_ids] for a in extra),
+                mesh=mesh)
             take = np.zeros(E, bool)
             for row, ei in enumerate(ids):
                 if np.isfinite(f2[row]) and f2[row] < fval[ei]:
@@ -511,6 +533,17 @@ class BatchedGPR:
                 # min remote compile per distinct sweep size)
                 B_fill = min(1024, bucket_level(E))
         B = B_fill
+        if mesh is not None and B >= n_sh:
+            B = B - B % n_sh
+        # shard fill chunks over the mesh so the prediction/fill programs
+        # auto-partition like the chunked path
+        _shard = None
+        if mesh is not None and B % n_sh == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+            _shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+        def _place(a):
+            return jax.device_put(a, _shard) if _shard is not None else a
         bij_chunk = jax.tree.map(
             lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=self.dtype),
                                        (B,) + jnp.asarray(a).shape),
@@ -527,16 +560,17 @@ class BatchedGPR:
             pad = np.concatenate([ids, np.full(B - len(ids), ids[-1])]) \
                 if len(ids) < B else ids
             Xs_in = jnp.zeros((B, 1, self.d), dtype=self.dtype) if Xs is None \
-                else jnp.asarray(Xs_np[pad], dtype=self.dtype)
+                else _place(jnp.asarray(Xs_np[pad], dtype=self.dtype))
             fixed_chunk = {n: jnp.asarray(np.asarray(init[n])[pad],
                                           dtype=self.dtype)
                            for n in self.HYPER_NAMES
                            if n not in self.free_names}
             self._pool_select_chunk(pad)
             p_chunk, _, _, _, pr = self._call_program(
-                jnp.asarray(u[pad], dtype=self.dtype),
-                jnp.asarray(X_np[pad], dtype=self.dtype),
-                jnp.asarray(y_np[pad], dtype=self.dtype), mask_np[pad],
+                _place(jnp.asarray(u[pad], dtype=self.dtype)),
+                _place(jnp.asarray(X_np[pad], dtype=self.dtype)),
+                _place(jnp.asarray(y_np[pad], dtype=self.dtype)),
+                mask_np[pad],
                 Xs_in, bij_chunk, fixed_chunk, False, do_predict,
                 compute_fval=False)
             pending.append((ids, p_chunk, pr))
@@ -587,6 +621,44 @@ def make_sgpr_objective(kernel, free_names, d, jitter):
     return objective
 
 
+@lru_cache(maxsize=None)
+def make_sgpr_vg_fun(kernel, free_names, d, jitter):
+    """Batch-level value_and_grad of the collapsed negative ELBO through the
+    fused Pallas SGPR kernel (ops/pallas_sgpr.sgpr_vg_batched): kernel-matrix
+    builds, both Choleskys, the triangular solves and the analytic adjoint
+    reductions run in one VMEM-resident program. The chain rule through the
+    constraint bijectors runs in XLA via a vjp of the elementwise
+    unconstrained->parameter map (cf. make_gpr_vg_fun)."""
+    from gpsat_tpu.ops.packing import ParamSpec
+    from gpsat_tpu.ops.pallas_sgpr import sgpr_vg_batched
+
+    shapes = {"lengthscales": (d,), "kernel_variance": (),
+              "likelihood_variance": ()}
+    spec = ParamSpec([(n, shapes[n]) for n in free_names])
+    all_names = ("lengthscales", "kernel_variance", "likelihood_variance")
+
+    def vg_fun(u, X, y, mask, Z, zmask, bijectors, fixed):
+        def to_params(u_all):
+            def one(ui, bi, fi):
+                free = unpack(ui, spec)
+                params = dict(fi)
+                for n in free_names:
+                    params[n] = bi[n].forward(free[n])
+                return params
+            return jax.vmap(one)(u_all, bijectors, fixed)
+
+        params, pullback = jax.vjp(to_params, u)
+        val, gparams = sgpr_vg_batched(params, X, y, mask.astype(X.dtype),
+                                       Z, zmask.astype(X.dtype), kernel,
+                                       jitter)
+        cot = {n: jnp.asarray(gparams[n], jnp.result_type(params[n])).reshape(
+            jnp.shape(params[n])) for n in all_names}
+        (gu,) = pullback(cot)
+        return jnp.asarray(val, u.dtype), gu
+
+    return vg_fun
+
+
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
                                    "do_predict", "max_iter", "gtol", "ftol",
                                    "jitter", "train_z", "compute_fval"))
@@ -620,9 +692,16 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
                                   kernel=kernel, jitter=jitter)
 
     if optimise and opt_names:
+        # fixed-Z runs evaluate every L-BFGS trial through the fused Pallas
+        # SGPR value+gradient kernel when supported (trainable-Z packs Z into
+        # u, which the fused kernel does not cover)
+        from gpsat_tpu.ops.pallas_sgpr import pallas_sgpr_vg_supported
+        vg_fun = make_sgpr_vg_fun(kernel, free_names, d, jitter) \
+            if (not train_z and pallas_sgpr_vg_supported(
+                kernel, d, X.shape[1], M)) else None
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, Z, zmask, bijectors, fixed),
-            max_iter, gtol, ftol, 10, 12, "custom")
+            max_iter, gtol, ftol, 10, 12, "custom", vg_fun=vg_fun)
     else:
         u = u0
         if compute_fval:
@@ -793,8 +872,13 @@ class BatchedSGPR(BatchedGPR):
                 and bool(self.free_names) and not self.train_inducing_points)
 
     def _pool_objective(self, N=None):
+        from gpsat_tpu.ops.pallas_sgpr import pallas_sgpr_vg_supported
+        vg_fun = make_sgpr_vg_fun(self.kernel, self.free_names, self.d,
+                                  self.jitter) \
+            if pallas_sgpr_vg_supported(self.kernel, self.d, N,
+                                        self.num_inducing) else None
         return make_sgpr_objective(self.kernel, self.free_names, self.d,
-                                   self.jitter), None
+                                   self.jitter), vg_fun
 
     def _pool_extra_args(self, X, mask, param_overrides):
         self._Z, self._zmask = self._build_inducing(X, mask)

@@ -299,6 +299,54 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
                                    "vg_fun"))
 def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
                     memory_size, max_linesearch_steps, vg_fun=None):
+    return _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
+                      memory_size, max_linesearch_steps, vg_fun)
+
+
+@partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
+                                   "memory_size", "max_linesearch_steps",
+                                   "vg_fun", "mesh"))
+def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
+                         memory_size, max_linesearch_steps, vg_fun, mesh):
+    """One independent pool per device: experts shard over the mesh's
+    leading axis and each device drains its own slot pool — zero collectives
+    (experts are independent, SURVEY.md §2.4). Per-expert trajectories are
+    identical to the single-device pool because a slot's L-BFGS path depends
+    only on its own expert's data."""
+    from jax.sharding import PartitionSpec
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # pragma: no cover - newer jax
+        from jax.shard_map import shard_map
+
+    ax = mesh.axis_names[0]
+    spec = PartitionSpec(ax)
+
+    def local(x0, args):
+        x, f, conv, iters, nit = _pool_core(
+            fun, x0, args, slots, max_iter, gtol, ftol, memory_size,
+            max_linesearch_steps, vg_fun)
+        return x, f, conv, iters, nit.reshape(1)
+
+    # prefix pytree: one spec covers every [E_local, ...] leaf of args
+    # (building a full spec tree with tree_map would re-run custom pytree
+    # node constructors — e.g. Sigmoid — on PartitionSpec leaves)
+    in_specs = (spec, spec)
+    out_specs = (spec, spec, spec, spec, spec)
+    # the pool loop carry mixes sharded inputs with locally-created
+    # constants; there are no collectives anywhere, so the varying-manual-
+    # axes check is disabled rather than pcast-ing every carry leaf
+    try:
+        fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    return fn(x0_all, args_all)
+
+
+def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
+               memory_size, max_linesearch_steps, vg_fun=None):
     E, P = x0_all.shape
     B = slots
     dtype = x0_all.dtype
@@ -384,7 +432,7 @@ def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
 def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
                        ftol=1e-11, memory_size=10, max_linesearch_steps=12,
-                       vg_fun=None):
+                       vg_fun=None, mesh=None):
     """Minimise `fun` for E independent problems through a `slots`-wide
     device-resident pool (see block comment above).
 
@@ -392,8 +440,30 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
     LBFGSResult with [E]-shaped fields. One program shape compiles per
     (slots, E) pair; per-expert results are bitwise identical to the one-shot
     batched loop.
+
+    With `mesh` (a 1-d device mesh), experts shard over the mesh axis and
+    each device runs its own `slots`-wide pool (`slots` is the per-device
+    width — the HBM budget is per device). E is padded to a mesh multiple by
+    duplicating leading experts; duplicates are dropped from the result.
     """
     E, P = x0_all.shape
+    n_sh = int(mesh.size) if mesh is not None else 1
+    if n_sh > 1:
+        E_pad = int(-(-E // n_sh) * n_sh)
+        x0_in = jnp.asarray(x0_all)
+        args_in = jax.tree.map(jnp.asarray, tuple(args_all))
+        if E_pad != E:
+            pad = E_pad - E
+            x0_in = jnp.concatenate([x0_in, x0_in[:pad]], axis=0)
+            args_in = jax.tree.map(
+                lambda a: jnp.concatenate([a, a[:pad]], axis=0), args_in)
+        B = int(min(slots, E_pad // n_sh))
+        x, f, conv, iters, nit = _lbfgs_pool_mesh_jit(
+            fun, x0_in, args_in, B, max_iter, gtol, ftol, memory_size,
+            max_linesearch_steps, vg_fun, mesh)
+        return LBFGSResult(x=x[:E], fun=f[:E], converged=conv[:E],
+                           iterations=iters[:E],
+                           pool_iterations=jnp.max(nit))
     B = int(min(slots, E))
     x, f, conv, iters, nit = _lbfgs_pool_jit(
         fun, jnp.asarray(x0_all), jax.tree.map(jnp.asarray, tuple(args_all)),

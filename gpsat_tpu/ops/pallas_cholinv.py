@@ -1,0 +1,198 @@
+"""Batched Cholesky + full triangular inverse in one Pallas kernel.
+
+XLA's batched [B, M, M] Cholesky and triangular solves lower to ~M sequential
+column steps whose per-step state round-trips HBM — pure latency on TPU
+(measured ~6.6 ms at [69,400] f32, tpu_stuff/microbench_chain.py). This
+kernel runs the blocked factorisation of ops/pallas_gpr (_factor_tile_and_
+invert: 32-row slab columns + rank-32 MXU updates + parallel 8x8 leaf
+inverses) and the W = U^{-1} off-diagonal block recurrence entirely in VMEM,
+emitting:
+
+    U  [B, M, M]  upper Cholesky factor (A = U^T U), strictly-lower zeroed
+    W  [B, M, M]  U^{-1} (upper triangular)
+    ld [B]        sum(log diag U) = 0.5 * logdet A
+
+Everything *around* the factorisation (kernel-matrix builds, A~ = W^T Kuf,
+B = I + A~A~^T/s2, gradient contractions) is plain batched matmuls that XLA
+already runs at MXU speed — so this is deliberately the ONLY fused kernel on
+the SGPR path, keeping Mosaic programs small (compile time scales badly with
+unrolled program size; a monolithic SGPR kernel at the production shape
+compiled for >50 min).
+
+The input must be a *masked* SPD matrix: padded rows/columns zeroed with a
+unit diagonal (they factor to identity and contribute log 1 = 0).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpsat_tpu.ops.pallas_gpr import (_T, _VMEM_LIMIT,
+                                      _factor_tile_and_invert)
+
+__all__ = ["cholinv_supported", "cholinv_batched"]
+
+_CHOLINV_VMEM_BUDGET = 80 * 2**20
+
+_INTERPRET = False
+_FORCE_SUPPORTED = False
+
+
+def cholinv_supported(M=None):
+    import os
+    if os.environ.get("GPSAT_DISABLE_PALLAS_CHOLINV"):
+        return False
+    if M is not None and (M % _T != 0 or M > 1024):
+        return False
+    if _FORCE_SUPPORTED:
+        return True
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    return True
+
+
+def _group_size(M):
+    # per expert: [M, 2M] scratch + double-buffered in/out windows
+    # (A in + U out + W out, 2 buffering levels each) = 8 * M^2 * 4 bytes
+    per = 8 * M * M * 4
+    bt = int(_CHOLINV_VMEM_BUDGET // per) // 8 * 8
+    return int(min(max(8, bt), 24))
+
+
+def _cholinv_kernel(a_in_ref, u_ref, w_ref, ld_ref, a_ref, *, M):
+    """One grid step: Bt experts. a_in_ref [Bt,M,M] masked SPD input;
+    u_ref/w_ref [Bt,M,M]; ld_ref [Bt,128] (lane 0 = sum log diag U);
+    a_ref [Bt,M,2M] scratch (A->U | W)."""
+    f32 = jnp.float32
+    Bt = a_ref.shape[0]
+    mb = M // _T
+    woff = M
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    bmm_t = (((1,), (1,)), ((0,), (0,)))
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
+
+    # copy input, zero the W region (masked recurrences read it: 0 * NaN)
+    dep = jnp.zeros((Bt, 1, 1), f32)
+    for rb in range(mb):
+        r0 = rb * _T
+        tile = a_in_ref[:, r0:r0 + _T, :] + jnp.zeros((Bt, _T, M), f32) \
+            + (dep + jnp.zeros((Bt, 1, M), f32))
+        a_ref[:, r0:r0 + _T, 0:M] = tile
+        a_ref[:, r0:r0 + _T, woff:] = jnp.zeros((Bt, _T, M), f32)
+        dep = tile[:, :1, :1] * f32(0.0)
+
+    ld = jnp.zeros((Bt, 1, 1), f32)
+    for kb in range(mb):
+        base = kb * _T
+        ld = _factor_tile_and_invert(a_ref, base, woff + base, ld, Bt)
+        if base + _T < M:
+            wkk = a_ref[:, base:base + _T, woff + base:woff + base + _T]
+            arest = a_ref[:, base:base + _T, base + _T:M]
+            a_ref[:, base:base + _T, base + _T:M] = \
+                dot(wkk, arest, dimension_numbers=bmm_t)
+        for ib in range(kb + 1, mb):
+            u_ki = a_ref[:, base:base + _T, ib * _T:(ib + 1) * _T]
+            u_krest = a_ref[:, base:base + _T, ib * _T:M]
+            g = dot(u_ki, u_krest, dimension_numbers=bmm_t)
+            a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] = (
+                a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] - g)
+
+    # W off-diagonal blocks: W_ij = -W_ii sum_{i<k<=j} U_ik W_kj
+    dep_w = jnp.zeros((Bt, 1, 1), f32)
+    for jb in range(mb):
+        wj = woff + jb * _T
+        for i in range(jb - 1, -1, -1):
+            acc = jnp.zeros((Bt, _T, _T), f32) \
+                + (dep_w + jnp.zeros((Bt, 1, _T), f32))
+            for k2 in range(i + 1, jb + 1):
+                u_ik = a_ref[:, i * _T:(i + 1) * _T,
+                             k2 * _T:(k2 + 1) * _T]
+                w_kj = a_ref[:, k2 * _T:(k2 + 1) * _T, wj:wj + _T]
+                acc = acc + dot(u_ik, w_kj, dimension_numbers=bmm)
+            w_ii = a_ref[:, i * _T:(i + 1) * _T,
+                         woff + i * _T:woff + (i + 1) * _T]
+            wij = -dot(w_ii, acc, dimension_numbers=bmm)
+            a_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = wij
+            dep_w = wij[:, :1, :1] * f32(0.0)
+
+    # emit U (strictly-lower tile blocks hold stale input values — the
+    # factorisation only writes upper blocks — mask them to zero) and W
+    for rb in range(mb):
+        r0 = rb * _T
+        u_rows = a_ref[:, r0:r0 + _T, 0:M]
+        if rb > 0:
+            u_rows = jnp.where(lane_m >= r0, u_rows, f32(0.0))
+        u_ref[:, r0:r0 + _T, :] = u_rows
+        w_ref[:, r0:r0 + _T, :] = a_ref[:, r0:r0 + _T, woff:]
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _T), 1)
+    ld_ref[:] = jnp.where(lane1 == 0, ld[:, 0, :], f32(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cholinv_call(A, *, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp, M, _ = A.shape
+    bt = _group_size(M)
+    G = Bp // bt
+    kern = functools.partial(_cholinv_kernel, M=M)
+    z = np.int32(0)
+    U, W, ld = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((Bp, M, M), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, M, M), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, _T), jnp.float32)),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((bt, M, M), lambda i: (i, z, z),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((bt, M, M), lambda i: (i, z, z),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bt, M, M), lambda i: (i, z, z),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bt, _T), lambda i: (i, z),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((bt, M, 2 * M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(A)
+    return U, W, ld[:, 0]
+
+
+def cholinv_batched(A, interpret=None):
+    """(U, W=U^{-1}, sum-log-diag-U) of a batched masked SPD matrix.
+
+    A: [B, M, M] f32, padded rows/cols zero with unit diagonal. M must be a
+    multiple of 128 (callers pad; padded rows of a masked build satisfy the
+    unit-diagonal requirement by construction). Falls back to XLA
+    (cholesky + triangular solve against I) when unsupported.
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    A = jnp.asarray(A, jnp.float32)
+    B, M, _ = A.shape
+    if not (cholinv_supported(M) or interpret):
+        L = jnp.linalg.cholesky(A)
+        U = jnp.swapaxes(L, 1, 2)
+        eye = jnp.broadcast_to(jnp.eye(M, dtype=A.dtype), (B, M, M))
+        W = jax.scipy.linalg.solve_triangular(U, eye, lower=False)
+        ld = jnp.sum(jnp.log(jnp.diagonal(U, axis1=1, axis2=2)), axis=1)
+        return U, W, ld
+
+    bt = _group_size(M)
+    B_pad = int(-(-B // bt) * bt)
+    if B_pad != B:
+        pad_eye = jnp.broadcast_to(jnp.eye(M, dtype=jnp.float32),
+                                   (B_pad - B, M, M))
+        A = jnp.concatenate([A, pad_eye], axis=0)
+    U, W, ld = _cholinv_call(A, interpret=interpret)
+    return U[:B], W[:B], ld[:B]

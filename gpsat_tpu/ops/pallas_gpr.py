@@ -154,10 +154,12 @@ def _group_size(N):
     return int(min(bt, _MAX_GROUP))
 
 
-def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
-    """Factor the TxT diagonal tile of A (lanes [base, base+T)) in place to
-    its upper Cholesky factor U_kk, and write W = U_kk^{-1} at lanes
-    [winv, winv+T). Returns the updated logdet [Bt,1,1] accumulator.
+def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
+    """Factor the TxT diagonal tile of A (rows [rbase, rbase+T), lanes
+    [base, base+T); rbase defaults to base for matrices stored at lane
+    offset 0) in place to its upper Cholesky factor U_kk, and write
+    W = U_kk^{-1} at lanes [winv, winv+T). Returns the updated logdet
+    [Bt,1,1] accumulator.
 
     Structure (every sequential step is as light as possible; bulk work on
     the MXU):
@@ -177,6 +179,7 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
     0 * garbage-NaN = NaN. The combine leaves exact zeros below the
     diagonal.
     """
+    rb0 = base if rbase is None else rbase
     f32 = jnp.float32
     dot = functools.partial(jax.lax.dot_general,
                             precision=jax.lax.Precision.HIGHEST,
@@ -204,7 +207,7 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
 
         def col_step(jl, logdet, p0=p0):
             j = p0 + jl                                  # tile-local col
-            slab = a_ref[:, base + p0:base + p0 + _P,
+            slab = a_ref[:, rb0 + p0:rb0 + p0 + _P,
                          base:base + _T]                 # [Bt,P,T]
             rowmask = sub_p == jl
             row = jnp.sum(jnp.where(rowmask, slab, f32(0.0)),
@@ -217,7 +220,7 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
             coef = jnp.swapaxes(u_p, 1, 2)               # [Bt,P,1]
             rmask = jnp.where(sub_p > jl, f32(1.0), f32(0.0))
             updated = slab - (coef * rmask) * u
-            a_ref[:, base + p0:base + p0 + _P, base:base + _T] = \
+            a_ref[:, rb0 + p0:rb0 + p0 + _P, base:base + _T] = \
                 jnp.where(rowmask,
                           u + jnp.zeros((Bt, _P, _T), f32), updated)
             return logdet + jnp.log(piv)
@@ -226,27 +229,27 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
                                    col_step, logdet)
 
         if p0 + _P < _T:
-            upan = a_ref[:, base + p0:base + p0 + _P, base:base + _T]
-            ucols = a_ref[:, base + p0:base + p0 + _P,
+            upan = a_ref[:, rb0 + p0:rb0 + p0 + _P, base:base + _T]
+            ucols = a_ref[:, rb0 + p0:rb0 + p0 + _P,
                           base + p0 + _P:base + _T]      # [Bt,P,T-p0-P]
             g = dot(ucols, upan, dimension_numbers=bmm_t)
-            a_ref[:, base + p0 + _P:base + _T, base:base + _T] = (
-                a_ref[:, base + p0 + _P:base + _T, base:base + _T] - g)
+            a_ref[:, rb0 + p0 + _P:rb0 + _T, base:base + _T] = (
+                a_ref[:, rb0 + p0 + _P:rb0 + _T, base:base + _T] - g)
 
-    utile = a_ref[:, base:base + _T, base:base + _T]
+    utile = a_ref[:, rb0:rb0 + _T, base:base + _T]
     uii_rows = jnp.sum(jnp.where(diag_tt > 0, utile, f32(0.0)),
                        axis=2, keepdims=True)             # [Bt,T,1]
 
     def leaf_step(t, carry):
         il = jnp.int32(7) - t
-        wd = a_ref[:, base:base + _T, winv:winv + _T]
-        ut = a_ref[:, base:base + _T, base:base + _T]
+        wd = a_ref[:, rb0:rb0 + _T, winv:winv + _T]
+        ut = a_ref[:, rb0:rb0 + _T, base:base + _T]
         rowsel = sub_mod == il
         umask = rowsel & same_leaf & (lane_mod > il)
         s = dot(jnp.where(umask, ut, f32(0.0)), wd,
                 dimension_numbers=bmm)                    # [Bt,T,T]
         wnew = (diag_tt - s) / uii_rows
-        a_ref[:, base:base + _T, winv:winv + _T] = \
+        a_ref[:, rb0:rb0 + _T, winv:winv + _T] = \
             jnp.where(rowsel, wnew, wd)
         return carry
 
@@ -254,15 +257,15 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
 
     def blk_step(t, carry):
         i = jnp.int32(_T // 8 - 1) - t
-        w = a_ref[:, base:base + _T, winv:winv + _T]
-        ut = a_ref[:, base:base + _T, base:base + _T]
+        w = a_ref[:, rb0:rb0 + _T, winv:winv + _T]
+        ut = a_ref[:, rb0:rb0 + _T, base:base + _T]
         rowsel = sub_blk == i
         fmask = rowsel & (lane_blk > i)
         s = dot(jnp.where(fmask, ut, f32(0.0)), w,
                 dimension_numbers=bmm)                    # [Bt,T,T]
         wnew = dot(jnp.where(same_leaf, w, f32(0.0)), diag_tt - s,
                    dimension_numbers=bmm)
-        a_ref[:, base:base + _T, winv:winv + _T] = \
+        a_ref[:, rb0:rb0 + _T, winv:winv + _T] = \
             jnp.where(rowsel, wnew, w)
         return carry
 
@@ -273,11 +276,11 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt):
     # masked-recurrence inverse (two MXU matmuls; the raw combine's noise
     # was enough to strand ill-conditioned experts at the L-BFGS iteration
     # cap via inaccurate trsm values / W-based gradients)
-    w = a_ref[:, base:base + _T, winv:winv + _T]
-    ut = jnp.where(lane_t >= sub_t, a_ref[:, base:base + _T,
+    w = a_ref[:, rb0:rb0 + _T, winv:winv + _T]
+    ut = jnp.where(lane_t >= sub_t, a_ref[:, rb0:rb0 + _T,
                                           base:base + _T], f32(0.0))
     uw = dot(ut, w, dimension_numbers=bmm)
-    a_ref[:, base:base + _T, winv:winv + _T] = \
+    a_ref[:, rb0:rb0 + _T, winv:winv + _T] = \
         w + dot(w, diag_tt - uw, dimension_numbers=bmm)
     return logdet
 
