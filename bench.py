@@ -220,9 +220,14 @@ def main(model="gpr"):
 
 
 def scaling_main():
-    """1 -> 8 virtual-CPU-device scaling efficiency of the sharded pool
-    (north-star metric shape; real multi-chip hardware is not available in
-    this environment, so the mesh path is exercised on host devices)."""
+    """1 -> 8 virtual-CPU-device scaling of the sharded pool.
+
+    Real multi-chip hardware is not available in this environment, and the
+    host has very few physical cores, so virtual devices TIMESHARE — this
+    mode validates that the shard_map pool path runs and produces finite
+    results at every mesh size; the efficiency number is hardware-limited,
+    not a property of the sharding design (true scaling needs a pod slice).
+    """
     import os
     import subprocess
     if os.environ.get("_GPSAT_BENCH_SCALING_CHILD") != "1":
@@ -240,18 +245,20 @@ def scaling_main():
     from gpsat_tpu.models.batched import BatchedGPR
     from gpsat_tpu.parallel.mesh import get_mesh
 
-    E, N, P, D = 64, 256, 64, 3
+    E, N, P, D = 32, 128, 32, 3
     X, z, Xs = make_workload(E, N, P, D)
     y = z - z.mean(axis=1, keepdims=True)
     mask = np.ones((E, N), dtype=bool)
     engine = BatchedGPR(coords_dim=D, kernel="Matern32",
-                        optim_kwargs={"max_iter": 250}, dtype=jnp.float64)
+                        optim_kwargs={"max_iter": 100}, dtype=jnp.float64)
 
+    import multiprocessing
+    ncpu = multiprocessing.cpu_count()
     rates = {}
-    for n_dev in (1, 2, 4, 8):
+    for n_dev in (1, 8):
         mesh = get_mesh(n_devices=n_dev) if n_dev > 1 else None
         kw = dict(Xs=jnp.asarray(Xs), optimise=True, predict=True,
-                  slots=4, mesh=mesh)
+                  slots=2, mesh=mesh)
         engine.fit_predict_many(X, y, mask, **kw)      # compile
         t0 = time.perf_counter()
         out = engine.fit_predict_many(X, y, mask, **kw)
@@ -261,8 +268,9 @@ def scaling_main():
     result = {
         "metric": "scaling_efficiency_8dev",
         "value": round(eff, 3),
-        "unit": (f"pooled sweep rate ratio r8/(8*r1) on 8 virtual CPU "
-                 f"devices; experts/s per mesh size: "
+        "unit": (f"pooled sweep rate ratio r8/(8*r1) on 8 VIRTUAL CPU "
+                 f"devices timesharing {ncpu} physical cores (path "
+                 f"validation, not hardware scaling); experts/s: "
                  + ", ".join(f"{k}dev={v:.1f}" for k, v in rates.items())),
         "vs_baseline": round(rates[8] / rates[1], 2),
     }

@@ -464,11 +464,12 @@ class LocalExpertOI:
                    f"(devices: {n_dev})", "OKCYAN")
 
         total_experts_done = 0
-        for bk in buckets:
-            t0 = time.perf_counter()
+        d = len(coords_col)
+
+        def _assemble(bk):
+            """Padded device arrays for one bucket (pure host work)."""
             ids = run_ids[bk["indices"]]
             B, Nmax, Pmax = bk["batch_pad"], bk["n_max"], bk["p_max"]
-            d = len(coords_col)
 
             X = np.zeros((B, Nmax, d))
             y = np.zeros((B, Nmax))
@@ -498,6 +499,23 @@ class LocalExpertOI:
                       np.concatenate([v[ids], np.full((B - len(ids),) + v.shape[1:],
                                                       np.nan)], axis=0)
                       for k, v in overrides.items()}
+            el_scaled = np.zeros((B, d))
+            el_scaled[:len(ids)] = \
+                xprt_locs.loc[ids, coords_col].values / coords_scale
+            return ids, X, y, mask, Xs, f_bar, ov, el_scaled
+
+        # one-deep prefetch: the next bucket's (host) array assembly overlaps
+        # the current bucket's device execution — the reference spends 18% of
+        # a production run on host data work (PERFORMANCE_OPTIMIZATIONS.md:9)
+        from concurrent.futures import ThreadPoolExecutor
+        prefetch = ThreadPoolExecutor(max_workers=1)
+        pending_bk = prefetch.submit(_assemble, buckets[0]) if buckets else None
+        for bki, bk in enumerate(buckets):
+            t0 = time.perf_counter()
+            ids, X, y, mask, Xs, f_bar, ov, el_scaled = pending_bk.result()
+            if bki + 1 < len(buckets):
+                pending_bk = prefetch.submit(_assemble, buckets[bki + 1])
+            B, Nmax, Pmax = bk["batch_pad"], bk["n_max"], bk["p_max"]
 
             if mesh is not None and not pool:
                 X, y, mask = shard_experts((X, y, mask), mesh)
@@ -505,8 +523,6 @@ class LocalExpertOI:
                     (Xs,) = shard_experts((Xs,), mesh)
 
             # engines needing per-expert locations (e.g. VFF box domains)
-            el_scaled = np.zeros((B, d))
-            el_scaled[:len(ids)] = xprt_locs.loc[ids, coords_col].values / coords_scale
             engine._expert_locs_scaled = el_scaled
 
             if pool:
@@ -533,6 +549,7 @@ class LocalExpertOI:
                        f"{bucket_time:.2f}s "
                        f"({len(ids)/bucket_time:.1f} experts/s)", "OKGREEN")
 
+        prefetch.shutdown(wait=False)
         # flush remaining (e.g. only skip records)
         self._flush(store_buffer, store_path, table_suffix, force=True)
         if verbose:
@@ -588,6 +605,7 @@ class LocalExpertOI:
             group_where[key] = where
 
         local_dfs, group_of_expert, local_idx = {}, [None] * E, [None] * E
+        from concurrent.futures import ThreadPoolExecutor
         for key, where in group_where.items():
             members = [i for i in range(E) if group_key[i] == key]
             df = self.data.load(where=where if where else None,
@@ -595,12 +613,26 @@ class LocalExpertOI:
             local_dfs[key] = df
             kdts = DataLoader.kdt_tree_list_for_local_select(df, local_select) \
                 if local_select else None
-            for i in members:
+
+            # per-expert KD radius queries are independent reads of the same
+            # tree/frame; cKDTree.query_ball_point releases the GIL, so a
+            # thread pool turns the reference's 18% sequential data-loading
+            # share (IS2_SM_GP/PERFORMANCE_OPTIMIZATIONS.md:9) into parallel
+            # host work
+            def _select(i):
                 rl = xprt_locs.iloc[[i]]
                 sel = DataLoader.local_data_select(
                     df, reference_location=rl, local_select=local_select,
                     kdtree=kdts, verbose=False)
-                local_idx[i] = sel.index.values
+                return i, sel.index.values
+
+            if len(members) > 8:
+                with ThreadPoolExecutor(max_workers=8) as tpe:
+                    results = list(tpe.map(_select, members))
+            else:
+                results = [_select(i) for i in members]
+            for i, idx in results:
+                local_idx[i] = idx
                 group_of_expert[i] = key
         return local_idx, local_dfs, group_of_expert
 

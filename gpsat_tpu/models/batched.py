@@ -725,10 +725,24 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
         Z = jnp.where(zmask[:, :, None], Z, 0.0)
 
     if do_predict:
-        preds = jax.vmap(
-            lambda p, xi, yi, mi, zi, zmi, xsi: sgpr_math.predict(
-                p, xi, yi, mi, zi, zmi, xsi, kernel=kernel, jitter=jitter))(
-            params, X, y, mask, Z, zmask, Xs)
+        # hybrid batched posterior (cholinv kernel + XLA matmuls, with
+        # escalating-jitter recovery for near-singular Kuu at converged
+        # long-lengthscale optima) when supported; XLA per-expert fallback
+        # otherwise (CPU f64 path)
+        from gpsat_tpu.ops.pallas_sgpr import (pallas_sgpr_vg_supported,
+                                               sgpr_predict_batched)
+        if pallas_sgpr_vg_supported(kernel, d, X.shape[1], M):
+            mf = jnp.asarray(mask, X.dtype)
+            zmf = jnp.asarray(zmask, X.dtype)
+            preds = sgpr_predict_batched(params, X, y, mf, Z, zmf, Xs,
+                                         kernel, jitter)
+            preds = {k: jnp.asarray(v, X.dtype) for k, v in preds.items()}
+        else:
+            preds = jax.vmap(
+                lambda p, xi, yi, mi, zi, zmi, xsi: sgpr_math.predict(
+                    p, xi, yi, mi, zi, zmi, xsi, kernel=kernel,
+                    jitter=jitter))(
+                params, X, y, mask, Z, zmask, Xs)
     else:
         preds = {}
     return params, fval, conv, iters, preds, Z

@@ -58,7 +58,8 @@ from gpsat_tpu.ops.pallas_gpr import (_KERNELS, _T, _VMEM_LIMIT,
                                       _factor_tile_and_invert, _phi,
                                       _phi_grad)
 
-__all__ = ["pallas_sgpr_vg_supported", "sgpr_vg_batched"]
+__all__ = ["pallas_sgpr_vg_supported", "sgpr_vg_batched",
+           "sgpr_predict_batched"]
 
 _TN_MAX = 1024     # wide N tiles: fewer unrolled tile iterations (Mosaic
                    # compile time scales with program size) and bigger MXU
@@ -281,6 +282,94 @@ def _sgpr_vg_hybrid(params, X, y, maskf, Z, zmaskf, kernel, jitter,
             jnp.shape(params["likelihood_variance"])),
     }
     return val, grads
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "jitter",
+                                             "interpret"))
+def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
+                         jitter, interpret=False):
+    """Batched SGPR posterior prediction, hybrid style (cf. _sgpr_vg_hybrid):
+    the two factorisations run in the fused cholinv kernel, everything else
+    is XLA batched matmuls — replacing the vmapped per-expert XLA
+    Cholesky/triangular-solve chains of ops/sgpr.predict (pure latency on
+    TPU). Same outputs as the reference's SGPR predict_f/predict_y
+    (GPSat/models/gpflow_models.py:187-273 semantics): 'f*', 'f*_var',
+    'y_var'.
+    """
+    from gpsat_tpu.ops.pallas_cholinv import cholinv_batched
+
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    X = jnp.asarray(X, f32)
+    Z = jnp.asarray(Z, f32)
+    Xs = jnp.asarray(Xs, f32)
+    B, N, D = X.shape
+    M = Z.shape[1]
+    M_pad = _pad_to(M, _T)
+    m = jnp.asarray(maskf, f32)
+    zm = jnp.asarray(zmaskf, f32)
+    if M_pad != M:
+        Z = jnp.concatenate([Z, jnp.zeros((B, M_pad - M, D), f32)], axis=1)
+        zm = jnp.concatenate([zm, jnp.zeros((B, M_pad - M), f32)], axis=1)
+    ls_in = jnp.asarray(params["lengthscales"], f32).reshape(B, -1)
+    ls = jnp.broadcast_to(ls_in, (B, D)) if (ls_in.shape[1] == 1 and D > 1) \
+        else ls_in
+    sf2 = jnp.asarray(params["kernel_variance"], f32).reshape(B)
+    s2 = jnp.asarray(params["likelihood_variance"], f32).reshape(B)
+    scale = f32(_KERNELS[kernel])
+
+    ybar = jnp.asarray(y, f32) * m
+    Zs = Z / ls[:, None, :]
+    Xn = X / ls[:, None, :]
+    Xp = Xs / ls[:, None, :]
+
+    def r2_of(A1, A2):
+        d2 = jnp.zeros((B, A1.shape[1], A2.shape[1]), f32)
+        for j in range(D):
+            dj = A1[:, :, None, j] - A2[:, None, :, j]
+            d2 = d2 + dj * dj
+        return d2 * scale
+
+    sf2c = sf2[:, None, None]
+    zmm = zm[:, :, None] * zm[:, None, :]
+    eyeM = jnp.eye(M_pad, dtype=f32)
+    Kuu = sf2c * _phi(kernel, r2_of(Zs, Zs), f32) * zmm + eyeM * (
+        zm * (f32(jitter) - 1.0) + 1.0)[:, :, None]
+    U_u, W_u, ld_u = cholinv_batched(Kuu, interpret=interpret)
+    # near-singular Kuu (long-lengthscale optima make it near rank-1) can
+    # defeat an f32 factorisation even though the optimiser's objective
+    # stayed finite; prediction must not fail at the converged point, so
+    # escalate to a RELATIVE jitter (1e-4 * kernel_variance) for exactly the
+    # failed experts and refactor once (the standard GPflow/GPyTorch
+    # escalating-jitter recovery, batched)
+    bad = ~jnp.isfinite(ld_u)
+    extra = jnp.where(bad, f32(1e-4) * sf2 + f32(100.0) * f32(jitter),
+                      0.0)
+    Kuu2 = Kuu + eyeM * (zm * extra[:, None])[:, :, None]
+    U2, W2, _ = cholinv_batched(Kuu2, interpret=interpret)
+    sel = bad[:, None, None]
+    U_u = jnp.where(sel, U2, U_u)
+    W_u = jnp.where(sel, W2, W_u)
+    Kuf = sf2c * _phi(kernel, r2_of(Zs, Xn), f32) \
+        * (zm[:, :, None] * m[:, None, :])
+    At = jnp.einsum("bkm,bkn->bmn", W_u, Kuf, precision=hp)
+    Bm = jnp.einsum("bmn,bkn->bmk", At, At,
+                    precision=hp) / s2[:, None, None] + eyeM
+    U_B, W_B, _ = cholinv_batched(Bm, interpret=interpret)
+
+    # c = LB^{-1} Aerr with Aerr = (A ybar)/sigma = (A~ ybar)/s2
+    # (ops/sgpr.py _common: A = Lu^{-1} Kuf / sigma, sigma = sqrt(s2))
+    at = jnp.einsum("bmn,bn->bm", At, ybar, precision=hp)
+    c = jnp.einsum("bm,bmk->bk", at, W_B, precision=hp) / s2[:, None]
+
+    Kus = sf2c * _phi(kernel, r2_of(Zs, Xp), f32) * zm[:, :, None]
+    tmp1 = jnp.einsum("bkm,bkp->bmp", W_u, Kus, precision=hp)   # Lu^-1 Kus
+    tmp2 = jnp.einsum("bkm,bkp->bmp", W_B, tmp1, precision=hp)  # LB^-1 tmp1
+    mean = jnp.einsum("bmp,bm->bp", tmp2, c, precision=hp)
+    f_var = jnp.maximum(
+        sf2[:, None] + jnp.sum(tmp2 * tmp2, axis=1)
+        - jnp.sum(tmp1 * tmp1, axis=1), 0.0)
+    return {"f*": mean, "f*_var": f_var, "y_var": f_var + s2[:, None]}
 
 
 def _sgpr_vg_kernel(xt_ref, yt_ref, zt_ref, p_ref, out_ref, a_ref, *,

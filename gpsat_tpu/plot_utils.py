@@ -14,7 +14,8 @@ try:
 except ImportError:  # pragma: no cover
     plt = None
 
-from gpsat_tpu.utils import WGS84toEASE2, EASE2toWGS84, stats_on_vals
+from gpsat_tpu.utils import (WGS84toEASE2, EASE2toWGS84, WGS84toPolarStereo,
+                             stats_on_vals)
 
 __all__ = ["get_projection", "plot_pcolormesh", "plot_hist", "plot_wrapper",
            "plot_pcolormesh_from_results_data", "plot_hyper_parameters",
@@ -22,11 +23,17 @@ __all__ = ["get_projection", "plot_pcolormesh", "plot_hist", "plot_wrapper",
 
 
 def get_projection(projection=None):
-    """Projection descriptor: 'north'/'south' -> polar LAEA parameters
-    (reference: plot_utils.py:181 returned cartopy CRS objects)."""
+    """Projection descriptor: 'north'/'south' -> polar STEREOGRAPHIC
+    parameters, matching the reference's cartopy NorthPolarStereo/
+    SouthPolarStereo defaults (reference: plot_utils.py:181); 'north_laea'/
+    'south_laea' select the EASE2-style LAEA used by the data grids."""
     if projection is None or projection == "north":
-        return {"lat_0": 90, "lon_0": 0, "name": "north_polar_laea"}
+        return {"lat_0": 90, "lon_0": 0, "name": "north_polar_stereo"}
     if projection == "south":
+        return {"lat_0": -90, "lon_0": 0, "name": "south_polar_stereo"}
+    if projection == "north_laea":
+        return {"lat_0": 90, "lon_0": 0, "name": "north_polar_laea"}
+    if projection == "south_laea":
         return {"lat_0": -90, "lon_0": 0, "name": "south_polar_laea"}
     if isinstance(projection, dict):
         return projection
@@ -35,6 +42,10 @@ def get_projection(projection=None):
 
 def _project(lon, lat, projection=None):
     proj = get_projection(projection)
+    if "stereo" in proj.get("name", ""):
+        return WGS84toPolarStereo(np.asarray(lon), np.asarray(lat),
+                                  lat_0=proj["lat_0"], lon_0=proj["lon_0"],
+                                  lat_ts=proj.get("lat_ts"))
     return WGS84toEASE2(np.asarray(lon), np.asarray(lat),
                         lat_0=proj["lat_0"], lon_0=proj["lon_0"])
 

@@ -212,11 +212,25 @@ class ResultsStore:
     # -- read ----------------------------------------------------------------
 
     def _read_column(self, grp, col, sel=None):
+        """Column read with row pushdown: only the [first-match, last-match)
+        byte range is read from disk, so windowed `where` queries on
+        append-ordered stores (the reference's dominant access pattern —
+        per-day global_select over a date-sorted table,
+        GPSat/dataloader.py:1161-1192 pytables `where`) scale with the match
+        size, not the table size."""
         ds = grp[col]
         tag = ds.attrs.get("dtype_tag", str(ds.dtype))
-        raw = ds[...]
-        if sel is not None:
-            raw = raw[sel]
+        if sel is None:
+            raw = ds[...]
+        else:
+            nz = np.flatnonzero(sel)
+            if len(nz) == 0:
+                raw = ds[0:0]
+            else:
+                lo, hi = int(nz[0]), int(nz[-1]) + 1
+                raw = ds[lo:hi]
+                if hi - lo != len(nz):
+                    raw = raw[sel[lo:hi]]
         return _from_h5_array(raw, tag)
 
     def select(self, table, where=None, columns=None, set_index=True):

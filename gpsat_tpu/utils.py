@@ -303,6 +303,86 @@ def EASE2toWGS84_New(*args, **kwargs):
     return EASE2toWGS84(*args, **kwargs)
 
 
+# WGS84 ellipsoid (shared with the LAEA transform above)
+_WGS84_A = 6378137.0
+_WGS84_E2 = 0.00669437999014132
+_WGS84_E = np.sqrt(_WGS84_E2)
+
+
+def WGS84toPolarStereo(lon, lat, lon_0=0.0, lat_0=90.0, lat_ts=None):
+    """WGS84 lon/lat (deg) -> polar stereographic x/y in metres.
+
+    Ellipsoidal form (Snyder 1987, eqs. 15-9 / 21-33..34), matching
+    '+proj=stere +lat_0=+-90 +lon_0=.. [+lat_ts=..] +ellps=WGS84' — i.e.
+    cartopy's NorthPolarStereo/SouthPolarStereo, the projection the
+    reference plots in (reference: GPSat/plot_utils.py:181). lat_ts is the
+    latitude of true scale (None => true scale at the pole, k0=1; EPSG:3413
+    uses lat_0=90, lon_0=-45, lat_ts=70).
+    """
+    a, e = _WGS84_A, _WGS84_E
+    south = lat_0 < 0
+    lon_r = np.radians(np.asarray(lon, dtype=float))
+    lat_r = np.radians(np.asarray(lat, dtype=float))
+    if south:
+        lon_r, lat_r = -lon_r, -lat_r
+        lon_0 = -lon_0
+    lam0 = np.radians(lon_0)
+
+    def _t(phi):
+        es = e * np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+
+    t = _t(lat_r)
+    if lat_ts is None:
+        rho = 2.0 * a * t / np.sqrt((1.0 + e) ** (1.0 + e)
+                                    * (1.0 - e) ** (1.0 - e))
+    else:
+        phic = np.radians(abs(lat_ts))
+        mc = np.cos(phic) / np.sqrt(1.0 - _WGS84_E2 * np.sin(phic) ** 2)
+        rho = a * mc * t / _t(phic)
+    x = rho * np.sin(lon_r - lam0)
+    y = -rho * np.cos(lon_r - lam0)
+    if south:
+        x, y = -x, -y
+    return x, y
+
+
+def PolarStereoToWGS84(x, y, lon_0=0.0, lat_0=90.0, lat_ts=None):
+    """Inverse of :func:`WGS84toPolarStereo` (iterative latitude solve,
+    Snyder eq. 7-9)."""
+    a, e = _WGS84_A, _WGS84_E
+    south = lat_0 < 0
+    x_arr = np.asarray(x, dtype=float)
+    y_arr = np.asarray(y, dtype=float)
+    if south:
+        x_arr, y_arr = -x_arr, -y_arr
+        lon_0 = -lon_0
+    rho = np.hypot(x_arr, y_arr)
+    if lat_ts is None:
+        t = rho * np.sqrt((1.0 + e) ** (1.0 + e)
+                          * (1.0 - e) ** (1.0 - e)) / (2.0 * a)
+    else:
+        phic = np.radians(abs(lat_ts))
+        mc = np.cos(phic) / np.sqrt(1.0 - _WGS84_E2 * np.sin(phic) ** 2)
+        es = e * np.sin(phic)
+        tc = (np.tan(np.pi / 4.0 - phic / 2.0)
+              / ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+        t = rho * tc / (a * mc)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        es = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+    lam = np.radians(lon_0) + np.arctan2(x_arr, -y_arr)
+    lon = np.degrees(lam)
+    lat = np.degrees(phi)
+    if south:
+        lon, lat = -lon, -lat
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # grids
 # ---------------------------------------------------------------------------

@@ -132,6 +132,42 @@ def test_sgpr_vg_scalar_lengthscale_broadcast():
         np.asarray(want_g["lengthscales"]).sum(axis=1), rtol=5e-3, atol=5e-3)
 
 
+def test_sgpr_predict_batched_matches_xla():
+    from gpsat_tpu.ops.pallas_sgpr import sgpr_predict_batched
+
+    X, y, mask, Z, zmask, params = make_case(B=4, N=180, M=90, D=2, seed=6)
+    Xs = np.random.default_rng(1).uniform(-2, 2, (4, 30, 2))
+    p32 = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    got = sgpr_predict_batched(p32, X, y, mask.astype(np.float32), Z,
+                               zmask.astype(np.float32), Xs, "Matern32",
+                               1e-6, interpret=True)
+    want = jax.vmap(lambda p, xi, yi, mi, zi, zmi, xsi: sgpr.predict(
+        p, xi, yi, mi, zi, zmi, xsi, kernel="Matern32", jitter=1e-6))(
+        p32, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(mask), jnp.asarray(Z, jnp.float32), jnp.asarray(zmask),
+        jnp.asarray(Xs, jnp.float32))
+    for k in ("f*", "f*_var", "y_var"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+def test_sgpr_predict_batched_near_singular_recovers():
+    """Long lengthscales => near-rank-1 Kuu; the escalating-jitter retry
+    must keep predictions finite (and close to the well-jittered answer)."""
+    from gpsat_tpu.ops.pallas_sgpr import sgpr_predict_batched
+
+    X, y, mask, Z, zmask, params = make_case(B=3, N=150, M=100, D=2, seed=8,
+                                             full_mask=True)
+    params["lengthscales"] = np.full((3, 2), 40.0)   # >> domain size
+    Xs = np.random.default_rng(2).uniform(-2, 2, (3, 20, 2))
+    p32 = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    got = sgpr_predict_batched(p32, X, y, mask.astype(np.float32), Z,
+                               zmask.astype(np.float32), Xs, "Matern32",
+                               1e-6, interpret=True)
+    assert np.isfinite(np.asarray(got["f*"])).all()
+    assert np.isfinite(np.asarray(got["f*_var"])).all()
+
+
 def test_sgpr_pool_vg_wiring(monkeypatch):
     """Pooled SGPR sweep with the fused vg path forced on (interpret mode):
     optimised results must match the XLA-objective pool."""
