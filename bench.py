@@ -164,8 +164,12 @@ def main(model="gpr"):
     from gpsat_tpu.parallel.scheduler import auto_batch_size
     B = min(E, auto_batch_size(N, P))
     if model == "sgpr" or model == "svgp":
-        # dominant buffers are [B, M, N]
+        # dominant buffers are [B, M, N]; round down to a multiple of 16 so
+        # pool slot batches tile the cholinv kernel's expert groups exactly
+        # (a 33-slot pool pads to 48 => one wasted grid step per call)
         B = min(E, max(1, 2**25 // (M * N)))
+        if B >= 16:
+            B -= B % 16
     elif model == "vff":
         m_eff = (2 * M + 1) ** D
         B = min(E, max(1, 2**25 // max(m_eff * N, 1)))

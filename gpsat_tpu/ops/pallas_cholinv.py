@@ -8,9 +8,13 @@ invert: 32-row slab columns + rank-32 MXU updates + parallel 8x8 leaf
 inverses) and the W = U^{-1} off-diagonal block recurrence entirely in VMEM,
 emitting:
 
-    U  [B, M, M]  upper Cholesky factor (A = U^T U), strictly-lower zeroed
-    W  [B, M, M]  U^{-1} (upper triangular)
+    W  [B, M, M]  U^{-1} (upper triangular; A = U^T U)
     ld [B]        sum(log diag U) = 0.5 * logdet A
+
+(U itself is not emitted: no consumer needs it — A-quadratic forms use A
+directly — and dropping its output window buys the VMEM to double the
+experts-per-grid-step, halving the kernel's dominant cost: the number of
+sequential column-loop passes, one per grid step.)
 
 Everything *around* the factorisation (kernel-matrix builds, A~ = W^T Kuf,
 B = I + A~A~^T/s2, gradient contractions) is plain batched matmuls that XLA
@@ -34,7 +38,7 @@ from gpsat_tpu.ops.pallas_gpr import (_T, _VMEM_LIMIT,
 
 __all__ = ["cholinv_supported", "cholinv_batched"]
 
-_CHOLINV_VMEM_BUDGET = 80 * 2**20
+_CHOLINV_VMEM_BUDGET = 100 * 2**20
 
 _INTERPRET = False
 _FORCE_SUPPORTED = False
@@ -58,15 +62,15 @@ def cholinv_supported(M=None):
 
 def _group_size(M):
     # per expert: [M, 2M] scratch + double-buffered in/out windows
-    # (A in + U out + W out, 2 buffering levels each) = 8 * M^2 * 4 bytes
-    per = 8 * M * M * 4
+    # (A in + W out, 2 buffering levels each) = 6 * M^2 * 4 bytes
+    per = 6 * M * M * 4
     bt = int(_CHOLINV_VMEM_BUDGET // per) // 8 * 8
     return int(min(max(8, bt), 24))
 
 
-def _cholinv_kernel(a_in_ref, u_ref, w_ref, ld_ref, a_ref, *, M):
+def _cholinv_kernel(a_in_ref, w_ref, ld_ref, a_ref, *, M):
     """One grid step: Bt experts. a_in_ref [Bt,M,M] masked SPD input;
-    u_ref/w_ref [Bt,M,M]; ld_ref [Bt,128] (lane 0 = sum log diag U);
+    w_ref [Bt,M,M]; ld_ref [Bt,128] (lane 0 = sum log diag U);
     a_ref [Bt,M,2M] scratch (A->U | W)."""
     f32 = jnp.float32
     Bt = a_ref.shape[0]
@@ -123,14 +127,8 @@ def _cholinv_kernel(a_in_ref, u_ref, w_ref, ld_ref, a_ref, *, M):
             a_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = wij
             dep_w = wij[:, :1, :1] * f32(0.0)
 
-    # emit U (strictly-lower tile blocks hold stale input values — the
-    # factorisation only writes upper blocks — mask them to zero) and W
     for rb in range(mb):
         r0 = rb * _T
-        u_rows = a_ref[:, r0:r0 + _T, 0:M]
-        if rb > 0:
-            u_rows = jnp.where(lane_m >= r0, u_rows, f32(0.0))
-        u_ref[:, r0:r0 + _T, :] = u_rows
         w_ref[:, r0:r0 + _T, :] = a_ref[:, r0:r0 + _T, woff:]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _T), 1)
@@ -147,17 +145,14 @@ def _cholinv_call(A, *, interpret=False):
     G = Bp // bt
     kern = functools.partial(_cholinv_kernel, M=M)
     z = np.int32(0)
-    U, W, ld = pl.pallas_call(
+    W, ld = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((Bp, M, M), jnp.float32),
-                   jax.ShapeDtypeStruct((Bp, M, M), jnp.float32),
                    jax.ShapeDtypeStruct((Bp, _T), jnp.float32)),
         grid=(G,),
         in_specs=[pl.BlockSpec((bt, M, M), lambda i: (i, z, z),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((bt, M, M), lambda i: (i, z, z),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bt, M, M), lambda i: (i, z, z),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((bt, _T), lambda i: (i, z),
                                 memory_space=pltpu.VMEM)),
@@ -165,11 +160,12 @@ def _cholinv_call(A, *, interpret=False):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(A)
-    return U, W, ld[:, 0]
+    return W, ld[:, 0]
 
 
 def cholinv_batched(A, interpret=None):
-    """(U, W=U^{-1}, sum-log-diag-U) of a batched masked SPD matrix.
+    """(W = U^{-1}, sum-log-diag-U) of a batched masked SPD matrix
+    (A = U^T U, W upper triangular).
 
     A: [B, M, M] f32, padded rows/cols zero with unit diagonal. M must be a
     multiple of 128 (callers pad; padded rows of a masked build satisfy the
@@ -186,7 +182,7 @@ def cholinv_batched(A, interpret=None):
         eye = jnp.broadcast_to(jnp.eye(M, dtype=A.dtype), (B, M, M))
         W = jax.scipy.linalg.solve_triangular(U, eye, lower=False)
         ld = jnp.sum(jnp.log(jnp.diagonal(U, axis1=1, axis2=2)), axis=1)
-        return U, W, ld
+        return W, ld
 
     bt = _group_size(M)
     B_pad = int(-(-B // bt) * bt)
@@ -194,5 +190,5 @@ def cholinv_batched(A, interpret=None):
         pad_eye = jnp.broadcast_to(jnp.eye(M, dtype=jnp.float32),
                                    (B_pad - B, M, M))
         A = jnp.concatenate([A, pad_eye], axis=0)
-    U, W, ld = _cholinv_call(A, interpret=interpret)
-    return U[:B], W[:B], ld[:B]
+    W, ld = _cholinv_call(A, interpret=interpret)
+    return W[:B], ld[:B]

@@ -196,14 +196,14 @@ def _sgpr_vg_hybrid(params, X, y, maskf, Z, zmaskf, kernel, jitter,
     eyeM = jnp.eye(M_pad, dtype=f32)
     Kuu = sf2c * phi_uu * zmm + eyeM * (
         zm * (f32(jitter) - 1.0) + 1.0)[:, :, None]
-    U_u, W_u, _ = cholinv_batched(Kuu, interpret=interpret)
+    W_u, _ = cholinv_batched(Kuu, interpret=interpret)
 
     r2_uf = r2_of(Zs, Xs)
     phi_uf = _phi(kernel, r2_uf, f32)
     Kuf = sf2c * phi_uf * mm                                   # [B,M,N]
     At = jnp.einsum("bkm,bkn->bmn", W_u, Kuf, precision=hp)    # A~
     Bm = jnp.einsum("bmn,bkn->bmk", At, At, precision=hp) * inv_s2 + eyeM
-    U_B, W_B, logdetB = cholinv_batched(Bm, interpret=interpret)
+    W_B, logdetB = cholinv_batched(Bm, interpret=interpret)
 
     at = jnp.einsum("bmn,bn->bm", At, ybar, precision=hp)      # a~
     c = jnp.einsum("bm,bmk->bk", at, W_B, precision=hp)        # a~^T W_B
@@ -219,22 +219,31 @@ def _sgpr_vg_hybrid(params, X, y, maskf, Z, zmaskf, kernel, jitter,
            - 0.5 * atdd / (s2 * s2)
            + 0.5 * (sf2 * n - trA2) / s2)
 
+    # Gradient-only contractions run at HIGH (bf16x3) matmul precision: the
+    # L-BFGS accept/stop decisions use the value (kept at HIGHEST via the
+    # shared At/Bm), and gradient rounding at this level only perturbs which
+    # nearby optimum a slot lands on (validated: endpoints land better as
+    # often as worse).
+    gp = jax.lax.Precision.HIGH
+
     # ---- Kbar_uf = -s^-2 W_u [(I - B^{-1}) A~ + dd beta^T] ---------------
     beta = ybar * inv_s2[:, :, 0] - jnp.einsum(
         "bmn,bm->bn", At, dd, precision=hp) / (s2 * s2)[:, None]
-    t2 = jnp.einsum("bkm,bkn->bmn", W_B, At, precision=hp)
-    binvA = jnp.einsum("bmk,bkn->bmn", W_B, t2, precision=hp)
+    t2 = jnp.einsum("bkm,bkn->bmn", W_B, At, precision=gp)
+    binvA = jnp.einsum("bmk,bkn->bmn", W_B, t2, precision=gp)
     v = At - binvA + dd[:, :, None] * beta[:, None, :]
-    Kbar_uf = -jnp.einsum("bmk,bkn->bmn", W_u, v, precision=hp) * inv_s2
+    Kbar_uf = -jnp.einsum("bmk,bkn->bmn", W_u, v, precision=gp) * inv_s2
 
-    # ---- Kbar_uu = 0.5 (G1^T G1 - 2 W_u W_u^T + G2 G2^T + s^-4 e e^T) ----
-    G1 = jnp.einsum("bmk,bnk->bmn", U_B, W_u, precision=hp)
-    G2 = jnp.einsum("bmk,bkn->bmn", W_u, W_B, precision=hp)
+    # ---- Kbar_uu = 0.5 (W_u B W_u^T - 2 W_u W_u^T + G2 G2^T + s^-4 ee^T) -
+    # (formerly via G1 = U_B W_u^T; expressed through Bm directly so the
+    # cholinv kernel need not emit the U factor at all)
+    BW = jnp.einsum("bmk,bnk->bmn", Bm, W_u, precision=gp)     # B W_u^T
+    G2 = jnp.einsum("bmk,bkn->bmn", W_u, W_B, precision=gp)
     e = jnp.einsum("bmk,bk->bm", W_u, dd, precision=hp)
     Kbar_uu = 0.5 * (
-        jnp.einsum("bkm,bkn->bmn", G1, G1, precision=hp)
-        - 2.0 * jnp.einsum("bmk,bnk->bmn", W_u, W_u, precision=hp)
-        + jnp.einsum("bmk,bnk->bmn", G2, G2, precision=hp)
+        jnp.einsum("bmk,bkn->bmn", W_u, BW, precision=gp)
+        - 2.0 * jnp.einsum("bmk,bnk->bmn", W_u, W_u, precision=gp)
+        + jnp.einsum("bmk,bnk->bmn", G2, G2, precision=gp)
         + (e[:, :, None] * e[:, None, :]) / (s2 * s2)[:, None, None])
 
     QP_uu = Kbar_uu * (sf2c * phi_uu * zmm)
@@ -335,7 +344,7 @@ def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
     eyeM = jnp.eye(M_pad, dtype=f32)
     Kuu = sf2c * _phi(kernel, r2_of(Zs, Zs), f32) * zmm + eyeM * (
         zm * (f32(jitter) - 1.0) + 1.0)[:, :, None]
-    U_u, W_u, ld_u = cholinv_batched(Kuu, interpret=interpret)
+    W_u, ld_u = cholinv_batched(Kuu, interpret=interpret)
     # near-singular Kuu (long-lengthscale optima make it near rank-1) can
     # defeat an f32 factorisation even though the optimiser's objective
     # stayed finite; prediction must not fail at the converged point, so
@@ -346,16 +355,15 @@ def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
     extra = jnp.where(bad, f32(1e-4) * sf2 + f32(100.0) * f32(jitter),
                       0.0)
     Kuu2 = Kuu + eyeM * (zm * extra[:, None])[:, :, None]
-    U2, W2, _ = cholinv_batched(Kuu2, interpret=interpret)
+    W2, _ = cholinv_batched(Kuu2, interpret=interpret)
     sel = bad[:, None, None]
-    U_u = jnp.where(sel, U2, U_u)
     W_u = jnp.where(sel, W2, W_u)
     Kuf = sf2c * _phi(kernel, r2_of(Zs, Xn), f32) \
         * (zm[:, :, None] * m[:, None, :])
     At = jnp.einsum("bkm,bkn->bmn", W_u, Kuf, precision=hp)
     Bm = jnp.einsum("bmn,bkn->bmk", At, At,
                     precision=hp) / s2[:, None, None] + eyeM
-    U_B, W_B, _ = cholinv_batched(Bm, interpret=interpret)
+    W_B, _ = cholinv_batched(Bm, interpret=interpret)
 
     # c = LB^{-1} Aerr with Aerr = (A ybar)/sigma = (A~ ybar)/s2
     # (ops/sgpr.py _common: A = Lu^{-1} Kuf / sigma, sigma = sqrt(s2))

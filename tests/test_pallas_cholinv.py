@@ -24,18 +24,19 @@ def test_cholinv_matches_numpy(M):
 
     mv = (M, M - 56, M // 2, M - 6, 1)
     A = make_spd(M=M, m_valid=mv)
-    U, W, ld = cholinv_batched(jnp.asarray(A, jnp.float32), interpret=True)
-    U, W, ld = np.asarray(U), np.asarray(W), np.asarray(ld)
+    W, ld = cholinv_batched(jnp.asarray(A, jnp.float32), interpret=True)
+    W, ld = np.asarray(W), np.asarray(ld)
     for b in range(A.shape[0]):
         L = np.linalg.cholesky(A[b])
-        np.testing.assert_allclose(U[b], L.T, rtol=2e-4, atol=5e-4)
         np.testing.assert_allclose(W[b], np.linalg.inv(L.T),
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(ld[b], np.log(np.diag(L)).sum(),
                                    rtol=1e-4, atol=1e-4)
-    # strictly-lower of U must be exactly zero (consumers matmul full rows)
+        # A^{-1} = W W^T to f32 accuracy
+        np.testing.assert_allclose(A[b] @ (W[b] @ W[b].T), np.eye(M),
+                                   atol=5e-3)
+    # W strictly-lower must be exactly zero (consumers matmul full rows)
     tril = np.tril(np.ones((M, M)), -1).astype(bool)
-    assert (U[:, tril] == 0).all()
     assert (W[:, tril] == 0).all()
 
 
@@ -43,12 +44,9 @@ def test_cholinv_xla_fallback_matches():
     from gpsat_tpu.ops.pallas_cholinv import cholinv_batched
 
     A = make_spd(B=3, M=128, m_valid=(128, 100, 64))
-    U1, W1, ld1 = cholinv_batched(jnp.asarray(A, jnp.float32),
-                                  interpret=True)
-    U2, W2, ld2 = cholinv_batched(jnp.asarray(A, jnp.float32),
-                                  interpret=False)   # CPU -> XLA fallback
-    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2),
-                               rtol=2e-4, atol=5e-4)
+    W1, ld1 = cholinv_batched(jnp.asarray(A, jnp.float32), interpret=True)
+    W2, ld2 = cholinv_batched(jnp.asarray(A, jnp.float32),
+                              interpret=False)   # CPU -> XLA fallback
     np.testing.assert_allclose(np.asarray(W1), np.asarray(W2),
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld2),
