@@ -101,9 +101,32 @@ def baseline_rate(X, z, Xs, n_sample=4):
 # gpsat_tpu batched path
 # ---------------------------------------------------------------------------
 
-def main(model="gpr"):
+def main(model="all"):
+    """`python bench.py [mode]`. Default mode "all": the exact-GPR sweep is
+    the fully-measured headline (its scipy baseline is re-measured), and the
+    production-profile SGPR sweep + 10k-expert sweep rates ride along in an
+    "extra" key (sweep-only — their sequential baselines take many minutes
+    at N=2000; the full measured ratios are recorded in docs/BENCH_NOTES.md).
+    A failure in an extra mode never sinks the headline line."""
     if model == "scaling":
         return scaling_main()
+    if model == "all":
+        result = run_mode("gpr")
+        extra = {}
+        for m in ("sgpr", "sweep10k"):
+            try:
+                r = run_mode(m, measure_baseline=False)
+                extra[m] = {"value": r["value"], "unit": r["unit"]}
+            except Exception as e:  # extras are best-effort
+                extra[m] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        result["extra"] = extra
+        print(json.dumps(result))
+        return
+    result = run_mode(model)
+    print(json.dumps(result))
+
+
+def run_mode(model="gpr", measure_baseline=True):
     import jax
     import jax.numpy as jnp
     from gpsat_tpu.models.batched import (BatchedGPR, BatchedSGPR,
@@ -207,7 +230,6 @@ def main(model="gpr"):
     if pool_iters is not None:
         tele += f", pool_iters={pool_iters}"
 
-    ref_rate = baseline_rate(X, z, Xs, n_sample=4)
     result = {
         "metric": ("prediction_points_per_s_per_chip" if model == "sweep10k"
                    else "experts_optimized_per_s_per_chip"),
@@ -218,9 +240,11 @@ def main(model="gpr"):
                 f"{np.dtype(dtype).name}, device={dev.platform}:{dev.device_kind}, "
                 f"converged={conv_frac:.2f}, {tele}, "
                 f"experts/s={rate:.1f})",
-        "vs_baseline": round(rate / ref_rate, 2),
     }
-    print(json.dumps(result))
+    if measure_baseline:
+        ref_rate = baseline_rate(X, z, Xs, n_sample=4)
+        result["vs_baseline"] = round(rate / ref_rate, 2)
+    return result
 
 
 def scaling_main():
@@ -282,4 +306,4 @@ def scaling_main():
 
 
 if __name__ == "__main__":
-    sys.exit(main(model=sys.argv[1] if len(sys.argv) > 1 else "gpr"))
+    sys.exit(main(model=sys.argv[1] if len(sys.argv) > 1 else "all"))

@@ -78,7 +78,18 @@ class DataLoader:
             ops = {">=": np.greater_equal, ">": np.greater, "==": np.equal,
                    "!=": np.not_equal, "<": np.less, "<=": np.less_equal}
             assert comp in ops, f"comp: {comp} is not valid"
-            out = ops[comp](obj[col].values, val)
+            col_vals = obj[col].values
+            # date-string conditions against datetime columns (the canonical
+            # GPSat global_select, e.g. {"col": "date", "comp": ">=",
+            # "val": "2020-01-01"}) — numpy won't compare datetime64 with
+            # str, so coerce the value (reference gets this free from
+            # pandas/pytables where-string evaluation, dataloader.py:1161)
+            col_dtype = getattr(col_vals, "dtype", None)
+            if (isinstance(col_dtype, np.dtype)
+                    and np.issubdtype(col_dtype, np.datetime64)
+                    and isinstance(val, str)):
+                val = np.datetime64(val)
+            out = ops[comp](col_vals, val)
         else:
             out = config_func(df=obj, **wd)
             if hasattr(out, "dtype") and str(out.dtype) != "bool":

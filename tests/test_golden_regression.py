@@ -12,6 +12,15 @@ Regenerate by DELETING the file and running this test module under pytest —
 generation must happen in the same 8-device mesh environment the replay uses
 (sharded vs unsharded reductions differ in the last ulp, which optimisation
 amplifies to ~1e-4).
+
+Provenance note (round-1 advisor finding): the committed golden was
+regenerated when the optimiser moved to the per-slot trial loop, so this
+test alone cannot certify that trajectory change. The regenerated golden
+WAS revalidated against external oracles in the same change-set: scipy
+L-BFGS-B parity (test_ops_gpr), the reference-produced PurePythonGPR
+fixture (test_reference_golden, reference tolerances 1e-6 objective /
+1e-3 lengthscales), and masked==unpadded identities — this file then
+guards against *drift* from that externally-validated state.
 """
 
 import json

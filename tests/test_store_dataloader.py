@@ -110,6 +110,19 @@ def test_load_where_on_dataframe(sample_df):
     assert (out["t"] >= 2).all()
 
 
+def test_load_where_datetime_string():
+    # date-string conditions against datetime64 columns (the canonical
+    # GPSat global_select date window; reference gets str->datetime
+    # coercion free from pandas where-string eval, dataloader.py:1161)
+    df = pd.DataFrame({
+        "date": pd.date_range("2020-01-01", periods=10, freq="D"),
+        "v": np.arange(10.0)})
+    out = DataLoader.load(source=df, where=[
+        {"col": "date", "comp": ">=", "val": "2020-01-03"},
+        {"col": "date", "comp": "<", "val": "2020-01-06"}])
+    assert list(out["v"]) == [2.0, 3.0, 4.0]
+
+
 def test_load_row_select_negate(sample_df):
     rs = {"col": "source", "comp": "==", "val": "A"}
     a = DataLoader.load(source=sample_df, row_select=[rs])
