@@ -14,10 +14,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Total wall budget for the default mode. The driver runs `python bench.py`
+# under its own ~10 min timeout (round-2 lesson: BENCH_r02.json rc=124 —
+# an un-capped extras pass lost the already-measured headline). Everything
+# here is budgeted so the one JSON line always lands well inside that.
+_ALL_DEADLINE_S = float(os.environ.get("GPSAT_BENCH_DEADLINE", 480))
 
 
 def make_workload(E, N, P, D=3, seed=0):
@@ -101,28 +109,72 @@ def baseline_rate(X, z, Xs, n_sample=4):
 # gpsat_tpu batched path
 # ---------------------------------------------------------------------------
 
+def _run_child(mode, timeout_s, measure_baseline=True):
+    """Run one bench mode in a fresh child process with a hard wall cap.
+
+    Child isolation serves two purposes (round-2 postmortem): a TPU worker
+    crash (OOM) or a fresh 5-10 min remote compile in one mode cannot take
+    the others down with it, and each child releases the single-chip tunnel
+    before the next one starts (two live TPU processes deadlock it).
+    Returns the child's parsed JSON line, or {"error": ...}.
+    """
+    env = dict(os.environ)
+    if not measure_baseline:
+        env["GPSAT_BENCH_NO_BASELINE"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s:.0f}s"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[:200]}
+
+
 def main(model="all"):
-    """`python bench.py [mode]`. Default mode "all": the exact-GPR sweep is
-    the fully-measured headline (its scipy baseline is re-measured), and the
-    production-profile SGPR sweep + 10k-expert sweep rates ride along in an
-    "extra" key (sweep-only — their sequential baselines take many minutes
-    at N=2000; the full measured ratios are recorded in docs/BENCH_NOTES.md).
-    A failure in an extra mode never sinks the headline line."""
+    """`python bench.py [mode]`. Default mode "all" is a pure orchestrator
+    (no jax in this process): the exact-GPR sweep is the fully-measured
+    headline (its scipy baseline is re-measured), and the production-profile
+    SGPR sweep + 10k-expert sweep rates ride along in an "extra" key
+    (sweep-only — their sequential baselines take many minutes at N=2000;
+    the full measured ratios are recorded in docs/BENCH_NOTES.md). Each mode
+    runs in its own time-capped child process so neither a crash nor a slow
+    compile in an extra can lose the headline, and the one JSON line always
+    prints inside the driver's budget."""
     if model == "scaling":
         return scaling_main()
     if model == "all":
-        result = run_mode("gpr")
+        t0 = time.monotonic()
+        remaining = lambda: _ALL_DEADLINE_S - (time.monotonic() - t0)
+        result = _run_child("gpr", timeout_s=max(60.0, remaining() - 30.0))
+        if "error" in result:
+            # headline child died — report it honestly but still emit the line
+            result = {"metric": "experts_optimized_per_s_per_chip",
+                      "value": None, "unit": "experts/s (gpr)",
+                      "vs_baseline": None, **result}
         extra = {}
-        for m in ("sgpr", "sweep10k"):
-            try:
-                r = run_mode(m, measure_baseline=False)
-                extra[m] = {"value": r["value"], "unit": r["unit"]}
-            except Exception as e:  # extras are best-effort
-                extra[m] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # sweep10k needs ~2 x 70 s of sweeps plus setup; only attempt it with
+        # generous headroom. sgpr is the production-profile anchor — always
+        # attempt it if any budget remains.
+        for m, need in (("sgpr", 60.0), ("sweep10k", 260.0)):
+            left = remaining()
+            if left < need:
+                extra[m] = {"skipped": f"time budget ({left:.0f}s left)"}
+                continue
+            r = _run_child(m, timeout_s=left - 20.0, measure_baseline=False)
+            extra[m] = (r if "error" in r
+                        else {"value": r["value"], "unit": r["unit"]})
         result["extra"] = extra
         print(json.dumps(result))
         return
-    result = run_mode(model)
+    result = run_mode(
+        model,
+        measure_baseline=os.environ.get("GPSAT_BENCH_NO_BASELINE") != "1")
     print(json.dumps(result))
 
 

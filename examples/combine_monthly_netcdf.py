@@ -1,0 +1,227 @@
+"""Combine monthly gridded OI products into one cleaned netCDF.
+
+Native equivalent of the reference's monthly-product combiner
+(reference: /root/reference/IS2_SM_GP/combine_monthly_netcdf.py):
+
+- scan `data_dir` for run subdirs named {run_string}_{YYYYMMDD}_{version},
+  pick the product .nc inside each, and concatenate along a new time axis
+  (all inputs are assumed to share one 2-d grid — no regridding);
+- optionally attach static 2-d fields: grid-cell area (NSIDC0771-style) and
+  a region mask (NSIDC0780-style), masking the Canadian Archipelago
+  (region index 12) out of the thickness/uncertainty variables;
+- optionally attach the month's middle-day (15th) sea-ice concentration
+  from a CDR-style daily directory tree ({sic_dir}/{year}/*YYYYMM15*.nc),
+  flipped north-up like the reference;
+- write the combined product with the polar-stereographic CRS metadata.
+
+Everything reads/writes through gpsat_tpu.ncio (no xarray/netCDF4/cartopy
+dependency). Usage:
+
+    python -m examples.combine_monthly_netcdf --data-dir out/thickness \
+        [--run-string run_30days_smap] [--version v01] [--out combined.nc]
+"""
+
+import argparse
+import glob
+import os
+import re
+from datetime import datetime
+
+import numpy as np
+
+from gpsat_tpu.ncio import NcDataset, NcVariable, read_netcdf, write_netcdf
+from gpsat_tpu.utils import cprint
+
+CAA_REGION_INDEX = 12   # NSIDC-0780 Canadian Archipelago
+
+CRS_ATTRS = {
+    "long_name": "NSIDC Sea Ice Polar Stereographic North",
+    "grid_mapping_name": "polar_stereographic",
+    "latitude_of_projection_origin": 90.0,
+    "standard_parallel": 70.0,
+    "straight_vertical_longitude_from_pole": -45.0,
+    "false_easting": 0.0,
+    "false_northing": 0.0,
+}
+
+
+def parse_date_from_filename(path):
+    """YYYY-MM-DD or YYYYMMDD anywhere in the basename -> datetime or None
+    (reference: combine_monthly_netcdf.py:57)."""
+    base = os.path.basename(path)
+    m = re.search(r"(\d{4})-(\d{2})-(\d{2})", base)
+    if not m:
+        m = re.search(r"(\d{4})(\d{2})(\d{2})", base)
+    return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3))) \
+        if m else None
+
+
+def collect_monthly_files(data_dir, run_string, version_string,
+                          file_pattern="*.nc"):
+    """Find one product file per {run_string}_{YYYYMMDD}_{version} subdir;
+    returns (paths, first-of-month dates) sorted by date
+    (reference: combine_monthly_netcdf.py:70-117)."""
+    prefix, suffix = run_string + "_", "_" + version_string
+    dated = []
+    for name in sorted(os.listdir(data_dir)):
+        sub = os.path.join(data_dir, name)
+        if not (os.path.isdir(sub) and name.startswith(prefix)
+                and name.endswith(suffix)):
+            continue
+        middle = name[len(prefix):-len(suffix)]
+        if len(middle) != 8 or not middle.isdigit():
+            continue
+        d = datetime(int(middle[:4]), int(middle[4:6]), 1)
+        cands = sorted(glob.glob(os.path.join(sub, file_pattern))) or \
+            sorted(glob.glob(os.path.join(sub, "*.nc")))
+        if not cands:
+            continue
+        f = cands[0]
+        mon = middle[:6]
+        for c in cands:     # prefer a file naming this month
+            if mon in os.path.basename(c):
+                f = c
+                break
+        dated.append((d, f))
+    dated.sort(key=lambda t: t[0])
+    return [p for _, p in dated], [d for d, _ in dated]
+
+
+def _var2d(ds, names):
+    """First present variable among `names` as a float 2-d array."""
+    for n in names:
+        if n in ds:
+            return np.asarray(ds[n].values, dtype=float).squeeze()
+    return None
+
+
+def load_middle_day_sic(sic_dir, year, month):
+    """SIC for the 15th of the month from {sic_dir}/{year}/*YYYYMM15*.nc,
+    flipped north-up (reference: combine_monthly_netcdf.py:152-191)."""
+    base = os.path.join(sic_dir, str(year))
+    if not os.path.isdir(base):
+        base = sic_dir
+    date_str = f"{year:04d}{month:02d}15"
+    files = sorted(glob.glob(os.path.join(base, f"*{date_str}*.nc")))
+    if not files:
+        files = sorted(glob.glob(os.path.join(
+            base, f"*{year:04d}-{month:02d}-15*.nc")))
+    if not files:
+        return None
+    ds = read_netcdf(files[0])
+    conc = _var2d(ds, ("cdr_seaice_conc", "sea_ice_conc", "seaice_conc_cdr",
+                       "concentration", "sic"))
+    return None if conc is None else conc[::-1]
+
+
+def combine_monthly_netcdf(data_dir, run_string="run_30days_smap",
+                           version_string="v01", file_pattern="*.nc",
+                           cell_area_path=None, region_mask_path=None,
+                           sic_dir=None, caa_region=CAA_REGION_INDEX,
+                           mask_vars=("ice_thickness", "ice_thickness_unc"),
+                           out_path=None):
+    """Concatenate monthly products + attach static/auxiliary fields.
+
+    Returns the combined NcDataset (and writes it to `out_path` when
+    given). Reference: combine_monthly_netcdf.py main flow (collect ->
+    concat along time -> cell area -> region mask w/ CAA masking of
+    thickness-like variables -> middle-day SIC -> CRS metadata).
+    """
+    files, dates = collect_monthly_files(data_dir, run_string,
+                                         version_string, file_pattern)
+    assert files, (f"no {run_string}_YYYYMMDD_{version_string} product dirs "
+                   f"with .nc files under {data_dir}")
+
+    first = read_netcdf(files[0])
+    x = np.asarray(first["x"].values).reshape(-1)
+    y = np.asarray(first["y"].values).reshape(-1)
+    ny, nx = len(y), len(x)
+    var_names = [k for k in first.keys()
+                 if first[k].values.squeeze().ndim == 2]
+
+    stacked = {v: [] for v in var_names}
+    for f in files:
+        ds = read_netcdf(f)
+        for v in var_names:
+            arr = _var2d(ds, (v,))
+            assert arr is not None and arr.shape == (ny, nx), \
+                f"{f}: variable {v} missing or off-grid {arr.shape}"
+            stacked[v].append(arr)
+
+    times = np.array([np.datetime64(d.strftime("%Y-%m-%d")) for d in dates],
+                     dtype="datetime64[ns]")
+    data_vars = {v: NcVariable(("time", "y", "x"),
+                               np.stack(vals).astype(np.float32))
+                 for v, vals in stacked.items()}
+
+    if cell_area_path:
+        area_ds = read_netcdf(cell_area_path)
+        area = _var2d(area_ds, ("cell_area",) + tuple(area_ds.keys()))
+        assert area is not None and area.shape == (ny, nx), \
+            f"cell area grid {None if area is None else area.shape} != grid"
+        data_vars["grid_cell_area"] = NcVariable(
+            ("y", "x"), area.astype(np.float32), {"units": "m2"})
+
+    if region_mask_path:
+        rm_ds = read_netcdf(region_mask_path)
+        r = _var2d(rm_ds, ("sea_ice_region_surface_mask", "region_mask")
+                   + tuple(rm_ds.keys()))
+        assert r is not None and r.shape == (ny, nx)
+        r = r[::-1]     # reference flips to match grid orientation
+        caa = r == caa_region
+        data_vars["region_mask"] = NcVariable(
+            ("y", "x"),
+            np.where(np.isfinite(r), r, -9999).astype(np.int16),
+            {"flag_meanings": "NSIDC-0780 region indices",
+             "missing_value": -9999})
+        for v in mask_vars:     # CAA masked out of thickness-like vars only
+            if v in data_vars and data_vars[v].dims == ("time", "y", "x"):
+                vals = data_vars[v].values.copy()
+                vals[:, caa] = np.nan
+                data_vars[v] = NcVariable(data_vars[v].dims, vals,
+                                          data_vars[v].attrs)
+
+    if sic_dir:
+        sic = np.full((len(files), ny, nx), np.nan, dtype=np.float32)
+        for i, d in enumerate(dates):
+            s = load_middle_day_sic(sic_dir, d.year, d.month)
+            if s is not None and s.shape == (ny, nx):
+                sic[i] = s
+        data_vars["sea_ice_conc"] = NcVariable(
+            ("time", "y", "x"), sic,
+            {"long_name": "middle-of-month sea ice concentration"})
+
+    combined = NcDataset(
+        data_vars=data_vars,
+        coords={"time": times, "x": x, "y": y},
+        attrs={**CRS_ATTRS,
+               "source": f"{run_string}_*_{version_string} monthly products",
+               "n_months": len(files)})
+    if out_path:
+        write_netcdf(combined, out_path)
+        cprint(f"combined {len(files)} months -> {out_path}", "OKGREEN")
+    return combined
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--run-string", default="run_30days_smap")
+    ap.add_argument("--version", default="v01")
+    ap.add_argument("--file-pattern", default="*.nc")
+    ap.add_argument("--cell-area", default=None)
+    ap.add_argument("--region-mask", default=None)
+    ap.add_argument("--sic-dir", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    out = args.out or os.path.join(
+        args.data_dir, f"combined_{args.run_string}_{args.version}.nc")
+    combine_monthly_netcdf(
+        args.data_dir, run_string=args.run_string,
+        version_string=args.version, file_pattern=args.file_pattern,
+        cell_area_path=args.cell_area, region_mask_path=args.region_mask,
+        sic_dir=args.sic_dir, out_path=out)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,17 +35,28 @@ def make_test_data(n_side=20, seed=42):
 
 
 def run_case(coords, obs, jitter, dtype):
-    from gpsat_tpu.models.exact_gpr import GPRModel
-    m = GPRModel(coords=coords.astype(dtype), obs=obs.astype(dtype)[:, None],
-                 kernel="Matern32", jitter=jitter)
-    ok_opt = m.optimise_parameters(max_iter=100)
-    nlml = m.get_objective_function_value()
-    pred = m.predict(coords.astype(dtype))
-    finite = (np.isfinite(nlml)
-              and np.isfinite(pred["f*"]).all()
-              and np.isfinite(pred["f*_var"]).all()
-              and (pred["f*_var"] >= -1e-6).all())
-    return bool(finite), float(nlml), bool(ok_opt)
+    """Run one (jitter, dtype) cell through the batched engine, which
+    honours `dtype` end-to-end — the per-expert GPRModel canonicalises
+    inputs to float64 (models/base.py:119-121), so it cannot exercise the
+    f32 conditioning stress this driver exists for."""
+    import jax.numpy as jnp
+    from gpsat_tpu.models.batched import BatchedGPR
+    engine = BatchedGPR(coords_dim=coords.shape[1], kernel="Matern32",
+                        jitter=jitter,
+                        dtype=jnp.float32 if dtype == np.float32
+                        else jnp.float64,
+                        optim_kwargs={"max_iter": 100})
+    X = coords[None].astype(dtype)
+    y = (obs - obs.mean())[None].astype(dtype)
+    mask = np.ones((1, len(obs)), dtype=bool)
+    out = engine.fit_predict(X, y, mask, Xs=X, optimise=True, predict=True)
+    nlml = float(out["objective"][0])
+    f = np.asarray(out["preds"]["f*"][0])
+    v = np.asarray(out["preds"]["f*_var"][0])
+    assert f.dtype == dtype, f"engine ran {f.dtype}, wanted {np.dtype(dtype)}"
+    finite = (np.isfinite(nlml) and np.isfinite(f).all()
+              and np.isfinite(v).all() and (v >= -1e-6).all())
+    return bool(finite), nlml, bool(out["converged"][0])
 
 
 def main():

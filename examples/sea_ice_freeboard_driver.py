@@ -120,6 +120,12 @@ def main(argv=None):
     ap.add_argument("--secondary-csv", default=None,
                     help="CSV with x,y,t,z columns for the secondary "
                          "instrument (synthetic if omitted)")
+    ap.add_argument("--secondary-smap-dir", default=None,
+                    help="SMAP cache dir: load the real Bremen mix product "
+                         "for --secondary-smap-date via satdata."
+                         "load_smap_data_for_date as the secondary source")
+    ap.add_argument("--secondary-smap-date", default=None,
+                    help="YYYY-MM-DD day to load from --secondary-smap-dir")
     ap.add_argument("--secondary-range", type=float, nargs=2,
                     default=(0.0, 0.5),
                     help="valid value range for secondary obs")
@@ -138,8 +144,21 @@ def main(argv=None):
     if args.sic:
         bin_df = add_sic_pseudo_obs(bin_df)
     if args.plus_secondary:
-        sec = pd.read_csv(args.secondary_csv) if args.secondary_csv \
-            else synth_secondary_instrument()
+        if args.secondary_smap_dir:
+            from gpsat_tpu.satdata import load_smap_data_for_date
+            assert args.secondary_smap_date, \
+                "--secondary-smap-dir needs --secondary-smap-date"
+            smap = load_smap_data_for_date(
+                args.secondary_smap_date, args.secondary_smap_dir,
+                coarsen_factor=max(1, args.secondary_coarsen))
+            # SMAP rows are day-resolved; the synthetic domain's t axis is
+            # days relative to the target day
+            sec = pd.DataFrame({"x": smap["x"], "y": smap["y"], "t": 0.0,
+                                "z": smap["ice_thickness"]})
+        elif args.secondary_csv:
+            sec = pd.read_csv(args.secondary_csv)
+        else:
+            sec = synth_secondary_instrument()
         bin_df = fuse_secondary_obs(
             bin_df, sec, value_range=tuple(args.secondary_range),
             coarsen_factor=args.secondary_coarsen,

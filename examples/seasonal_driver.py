@@ -66,7 +66,7 @@ def main(argv=None):
 
     store = args.out or os.path.join(
         get_parent_path("results"), "seasonal_example.h5")
-    os.makedirs(os.path.dirname(store), exist_ok=True)
+    os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
 
     # one obs table for the whole season; months selected by date window
     obs = pd.concat([make_month_obs(m) for m in range(args.months)],
@@ -97,8 +97,13 @@ def main(argv=None):
             model={
                 "oi_model": "GPRModel",
                 "init_params": {"coords_scale": [50 * KM, 50 * KM]},
-                "constraints": {"lengthscales": {"low": [1e-3, 1e-3],
-                                                 "high": [12.0, 12.0]}},
+                # with coords_scale set, lengthscale bounds are PHYSICAL
+                # units and are divided by coords_scale before the sigmoid
+                # (same contract as the reference, local_experts.py:1110-
+                # 1115) — i.e. this box is [0.1, 12] in scaled units
+                "constraints": {"lengthscales": {"low": [5 * KM, 5 * KM],
+                                                 "high": [600 * KM,
+                                                          600 * KM]}},
             },
             locations={"df": xprt},
             # pred_loc omitted -> predict at the expert locations
@@ -113,18 +118,26 @@ def main(argv=None):
                                          verbose=False)
         rd = dfs[f"run_details_{label}"]
         ls = dfs[f"lengthscales_{label}"]
+        kv = dfs[f"kernel_variance_{label}"]
         series.append({
             "month": label,
             "experts_run": int(rd["optimise_success"].notna().sum()),
             "success_rate": float(rd["optimise_success"].mean()),
             "median_lengthscale": float(ls["lengthscales"].median()),
+            "median_kernel_variance": float(kv["kernel_variance"].median()),
         })
     out = pd.DataFrame(series)
     print(out.to_string(index=False))
     assert (out["success_rate"] > 0.8).all(), "a month's sweep failed"
-    # the seasonal amplitude cycle should move the optimised hyperparameters
-    assert out["median_lengthscale"].nunique() > 1, \
+    # the synthetic seasonal cycle is a MULTIPLICATIVE amplitude: it moves
+    # the kernel variance month to month (spatial correlation — the
+    # lengthscales — stays put by construction)
+    assert out["median_kernel_variance"].nunique() > 1, \
         "hyperparameters identical across months — seasonal signal lost"
+    # and the learnt lengthscales must be non-degenerate: inside the
+    # configured physical box, not pinned at a bound
+    assert (out["median_lengthscale"] > 0.1).all(), \
+        "lengthscales collapsed to the lower constraint bound"
     cprint(f"seasonal_driver: OK ({args.months} months -> {store})", "OKGREEN")
 
 

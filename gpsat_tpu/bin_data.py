@@ -53,11 +53,27 @@ class BinData:
 
     def bin_data_by_batch(self, load_by):
         """Chunked binning over unique values of `load_by` columns
-        (reference: bin_data.py:280)."""
+        (reference: bin_data.py:280).
+
+        Out-of-core: the unique-value probe reads ONLY the `load_by`
+        columns (plus the base where filter), pushed down to the store's
+        column-subset reader — the full table is never materialised in this
+        process (the reference iterates the HDF store in chunks for the
+        same reason, bin_data.py:418-440). Each chunk then loads with an
+        equality `where` on the load_by values, which the store also pushes
+        down to a windowed read.
+        """
         load_by = [load_by] if isinstance(load_by, str) else list(load_by)
         base_where = self.input.get("where", None) or []
         src_kwargs = {k: v for k, v in self.input.items() if k != "where"}
-        probe = DataLoader.load(**self.input)
+        # col_funcs / col_select apply to the per-chunk loads, not the probe
+        # (load_by columns must be physical: the per-chunk where-pushdown
+        # filters on them before any derived column exists — same contract
+        # as the reference's `load_by in by_cols` requirement)
+        probe_kwargs = {k: v for k, v in self.input.items()
+                        if k not in ("col_funcs", "col_select", "row_select",
+                                     "add_data_to_col")}
+        probe = DataLoader.load(columns=load_by, **probe_kwargs)
         uniques = probe[load_by].drop_duplicates()
         out = []
         for _, row in uniques.iterrows():

@@ -20,7 +20,24 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["batched_lbfgs", "LBFGSResult"]
+__all__ = ["batched_lbfgs", "LBFGSResult", "linesearch_policy"]
+
+
+def linesearch_policy(dtype):
+    """(max_linesearch_steps, max_fails) by working precision.
+
+    f32 (the TPU production dtype): the objective's noise floor is
+    ~1e-4 relative, so an exhausted backtracking chain means the slot is
+    converged-to-noise — end it there (max_fails=1) and don't probe scales
+    below 2^-8 (measured on the bench sweep: <2% of accepted steps used
+    t < 2^-8, each costing 8+ rejected evals; the post-fail steepest-
+    descent retry recovered 2.5% of accepts for ~12 evals per slot —
+    tpu_stuff/linesearch_stats.py). f64: keep the conservative scipy-style
+    policy (full 12-step chain, one steepest-descent recovery).
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        return 8, 1
+    return 12, 2
 
 
 class LBFGSResult(dict):
@@ -34,9 +51,9 @@ class LBFGSResult(dict):
 
 
 def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
-               gtol, ftol, memory_size, max_linesearch_steps):
+               gtol, ftol, memory_size, max_linesearch_steps, max_fails=2):
     """Build the per-iteration body over the L-BFGS carry tuple
-    (it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t).
+    (it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t, backed).
 
     `it` is the global scalar iteration (ring-pointer base); `iters` counts
     per-slot ACCEPTED steps, so slots (re)filled mid-run — the pool path —
@@ -99,7 +116,7 @@ def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
     _DMAX = 2.0
 
     def body(carry):
-        it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t = carry
+        it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t, backed = carry
         d = two_loop(g, S, Y, rho, gamma, it)
         gd = jnp.sum(g * d, axis=-1)
         bad_dir = ~jnp.isfinite(gd) | (gd >= 0)
@@ -152,16 +169,23 @@ def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
             jnp.abs(f - f_try) <= ftol * jnp.maximum(
                 jnp.maximum(jnp.abs(f), jnp.abs(f_try)), 1.0))
         # a slot fails when its backtracking scale is exhausted without an
-        # acceptable point. First failure: reset that slot's curvature
-        # history so the next direction is steepest descent (the scipy
-        # recovery); a second consecutive failure ends the slot.
+        # acceptable point. With max_fails=2 (the f64 policy): first failure
+        # resets that slot's curvature history so the next direction is
+        # steepest descent (the scipy recovery); a second consecutive
+        # failure ends the slot. With max_fails=1 (the f32 policy): the
+        # first exhausted chain ends the slot — measured on the bench
+        # objective (tpu_stuff/linesearch_stats.py), an exhausted chain in
+        # f32 means the slot is grinding the objective's ~1e-4-relative
+        # noise floor; the steepest-descent retry recovered only 2.5% of
+        # accepts while costing a second full chain (~35% of ALL trials
+        # were post-last-accept endgame).
         fail = (~accept) & (~done) & (t <= t_min)
         fail_cnt = jnp.where(fail, fail_cnt + 1,
                              jnp.where(accept, 0, fail_cnt))
-        reset = fail & (fail_cnt == 1)
+        reset = fail & (fail_cnt == 1) & (max_fails > 1)
         rho = jnp.where(reset[None, :], 0.0, rho)
         gamma = jnp.where(reset, 1.0, gamma)
-        hard_fail = fail & (fail_cnt >= 2)
+        hard_fail = fail & (fail_cnt >= max_fails)
         iters = iters + jnp.where(accept, 1, 0)
         hit_cap = iters >= max_iter
         newly_done = (~done) & (grad_small | f_change | hard_fail | hit_cap)
@@ -169,18 +193,25 @@ def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
         x = jnp.where(accept[:, None], x_try, x)
         f = jnp.where(accept, f_try, f)
         g = jnp.where(accept[:, None], g_try, g)
-        # warm-started trial scale: after an accept, grow 4x from the
-        # accepted scale instead of resetting to 1 — a slot in a deep-
-        # backtrack regime pays ~2 trials per step instead of re-paying
-        # the whole halving chain, and recovers to full trials within a
-        # few accepts (so it cannot get stuck at sub-unit steps, the
-        # failure mode that killed a 2x-growth warm start under the OLD
-        # coupled linesearch where f-stagnation required full steps)
+        # warm-started trial scale with clean-accept gating (round-3
+        # trials/accept lever, measured via tpu_stuff/pool_iter_probe.py):
+        # `backed` marks a slot whose scale was halved since its last
+        # accepted step. A CLEAN accept (first-trial accept at the current
+        # scale) probes upward 2x — so a slot can never get stuck at
+        # sub-unit steps; recovery to t=1 is geometric. A BACKTRACKED
+        # accept keeps t unchanged: the halving just calibrated it at the
+        # acceptance boundary, and re-growing it (the old 4x-on-every-
+        # accept rule) immediately re-pays the halvings next iteration
+        # (steady-state 4 trials per 2 accepts; clean-gated 2x is 3 per 2).
         t = jnp.where(done, t,
-                      jnp.where(accept, jnp.minimum(1.0, t * 4.0),
-                                jnp.where(fail, 1.0, t * 0.5)))
+                      jnp.where(accept & ~backed, jnp.minimum(1.0, t * 2.0),
+                                jnp.where(accept, t,
+                                          jnp.where(fail, 1.0, t * 0.5))))
+        backed = jnp.where(done, backed,
+                           jnp.where(accept | fail, False, True))
         done = done | newly_done
-        return it + 1, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t
+        return (it + 1, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t,
+                backed)
 
     return body
 
@@ -197,15 +228,17 @@ def _init_carry(batched_value_and_grad, x0, gtol, memory_size):
     done0 = ~jnp.isfinite(f0) | (jnp.max(jnp.abs(g0), axis=-1) < gtol)
     return (jnp.asarray(0, jnp.int32), x0, f0, g0, S0, Y0, rho0, gamma0,
             done0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-            jnp.ones(B, dtype))
+            jnp.ones(B, dtype), jnp.zeros(B, bool))
 
 
 def _batch_lbfgs_loop(batched_value_and_grad, x0, max_iter,
-                      gtol, ftol, memory_size, max_linesearch_steps):
+                      gtol, ftol, memory_size, max_linesearch_steps,
+                      max_fails=2):
     """Core batch-level loop. x0: [B, P]. Returns (x, f, converged, iters)."""
     B, P = x0.shape
     body = _make_step(batched_value_and_grad, B, P, x0.dtype,
-                      max_iter, gtol, ftol, memory_size, max_linesearch_steps)
+                      max_iter, gtol, ftol, memory_size, max_linesearch_steps,
+                      max_fails)
 
     # each global iteration is one TRIAL; a slot needs at most
     # (max_linesearch_steps + 1) trials per accepted step, and hard-fail /
@@ -225,10 +258,10 @@ def _batch_lbfgs_loop(batched_value_and_grad, x0, max_iter,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "engine", "vg_fun"))
+                                   "engine", "vg_fun", "max_fails"))
 def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                        memory_size, max_linesearch_steps, engine="custom",
-                       vg_fun=None):
+                       vg_fun=None, max_fails=2):
     """vg_fun, if given, overrides the per-trial value_and_grad:
     vg_fun(x [B, P], *args) -> ([B], [B, P]) (the fused Pallas
     value+gradient kernel); otherwise autodiff through `fun`. Every trial
@@ -252,11 +285,12 @@ def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
             return jax.vmap(jax.value_and_grad(fun))(x)
 
     return _batch_lbfgs_loop(value_and_grad, x0, max_iter, gtol, ftol,
-                             memory_size, max_linesearch_steps)
+                             memory_size, max_linesearch_steps, max_fails)
 
 
 def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
-                  memory_size=10, max_linesearch_steps=12, engine="custom"):
+                  memory_size=10, max_linesearch_steps=12, engine="custom",
+                  max_fails=2):
     """Minimise `fun(x, *args_i) -> scalar` for a batch of problems.
 
     Parameters
@@ -272,7 +306,8 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
     """
     x, f, conv, iters = _batched_lbfgs_jit(fun, x0, tuple(args), max_iter,
                                            gtol, ftol, memory_size,
-                                           max_linesearch_steps, engine)
+                                           max_linesearch_steps, engine,
+                                           max_fails=max_fails)
     return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters)
 
 
@@ -296,18 +331,20 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
 
 @partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "vg_fun"))
+                                   "vg_fun", "max_fails"))
 def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-                    memory_size, max_linesearch_steps, vg_fun=None):
+                    memory_size, max_linesearch_steps, vg_fun=None,
+                    max_fails=2):
     return _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-                      memory_size, max_linesearch_steps, vg_fun)
+                      memory_size, max_linesearch_steps, vg_fun, max_fails)
 
 
 @partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "vg_fun", "mesh"))
+                                   "vg_fun", "mesh", "max_fails"))
 def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-                         memory_size, max_linesearch_steps, vg_fun, mesh):
+                         memory_size, max_linesearch_steps, vg_fun, mesh,
+                         max_fails=2):
     """One independent pool per device: experts shard over the mesh's
     leading axis and each device drains its own slot pool — zero collectives
     (experts are independent, SURVEY.md §2.4). Per-expert trajectories are
@@ -325,7 +362,7 @@ def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
     def local(x0, args):
         x, f, conv, iters, nit = _pool_core(
             fun, x0, args, slots, max_iter, gtol, ftol, memory_size,
-            max_linesearch_steps, vg_fun)
+            max_linesearch_steps, vg_fun, max_fails)
         return x, f, conv, iters, nit.reshape(1)
 
     # prefix pytree: one spec covers every [E_local, ...] leaf of args
@@ -346,7 +383,7 @@ def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
 
 def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-               memory_size, max_linesearch_steps, vg_fun=None):
+               memory_size, max_linesearch_steps, vg_fun=None, max_fails=2):
     E, P = x0_all.shape
     B = slots
     dtype = x0_all.dtype
@@ -378,13 +415,14 @@ def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
         carry, slot_expert, next_expert, live, ox, of, oc, oi = state
         step = _make_step(vg_at(slot_expert), B, P,
                           dtype, max_iter, gtol, ftol, m,
-                          max_linesearch_steps)
+                          max_linesearch_steps, max_fails)
         carry = step(carry)
         harvest = carry[8] & live
 
         def with_harvest(st):
             carry, slot_expert, next_expert, live, ox, of, oc, oi = st
-            it, x, f, g, S, Y, rho, gamma, done, iters, fail, t = carry
+            (it, x, f, g, S, Y, rho, gamma, done, iters, fail, t,
+             backed) = carry
             idx = jnp.where(harvest, slot_expert, E)     # E rows are dropped
             ox = ox.at[idx].set(x, mode="drop")
             of = of.at[idx].set(f, mode="drop")
@@ -418,7 +456,9 @@ def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
             fail = jnp.where(ok, 0, fail)
             done = jnp.where(ok, False, done)
             t = jnp.where(ok, jnp.ones_like(t), t)
-            carry = (it, x, f, g, S, Y, rho, gamma, done, iters, fail, t)
+            backed = jnp.where(ok, False, backed)
+            carry = (it, x, f, g, S, Y, rho, gamma, done, iters, fail, t,
+                     backed)
             return carry, slot_expert, next_expert, live, ox, of, oc, oi
 
         state = (carry, slot_expert, next_expert, live, ox, of, oc, oi)
@@ -432,7 +472,7 @@ def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
 def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
                        ftol=1e-11, memory_size=10, max_linesearch_steps=12,
-                       vg_fun=None, mesh=None):
+                       vg_fun=None, mesh=None, max_fails=2):
     """Minimise `fun` for E independent problems through a `slots`-wide
     device-resident pool (see block comment above).
 
@@ -460,7 +500,7 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
         B = int(min(slots, E_pad // n_sh))
         x, f, conv, iters, nit = _lbfgs_pool_mesh_jit(
             fun, x0_in, args_in, B, max_iter, gtol, ftol, memory_size,
-            max_linesearch_steps, vg_fun, mesh)
+            max_linesearch_steps, vg_fun, mesh, max_fails=max_fails)
         return LBFGSResult(x=x[:E], fun=f[:E], converged=conv[:E],
                            iterations=iters[:E],
                            pool_iterations=jnp.max(nit))
@@ -468,7 +508,7 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
     x, f, conv, iters, nit = _lbfgs_pool_jit(
         fun, jnp.asarray(x0_all), jax.tree.map(jnp.asarray, tuple(args_all)),
         B, max_iter, gtol, ftol, memory_size, max_linesearch_steps,
-        vg_fun=vg_fun)
+        vg_fun=vg_fun, max_fails=max_fails)
     return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters,
                        pool_iterations=nit)
 

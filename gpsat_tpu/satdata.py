@@ -29,7 +29,9 @@ from gpsat_tpu.ncio import read_netcdf
 from gpsat_tpu.utils import WGS84toEASE2
 
 __all__ = ["along_track_preprocess", "read_is2sitmogr4",
-           "sic_pseudo_obs", "load_sic_pseudo_obs_for_date", "bin_to_is2"]
+           "sic_pseudo_obs", "load_sic_pseudo_obs_for_date", "bin_to_is2",
+           "smap_url", "smap_cache_path", "check_and_cache_smap_date",
+           "cache_smap_date_range", "load_smap_data_for_date"]
 
 GPS_EPOCH = np.datetime64("1980-01-06T00:00:00")
 _CONC_NAMES = ("cdr_seaice_conc", "cdr_seaice_conc_monthly", "sea_ice_conc",
@@ -173,6 +175,163 @@ def load_sic_pseudo_obs_for_date(date_str, sic_base_path, sic_cutoff=0.15,
     return sic_pseudo_obs(ds, sic_cutoff=sic_cutoff,
                           coarsen_factor=coarsen_factor, val_col=val_col,
                           time=np.datetime64(date_str))
+
+
+# ---------------------------------------------------------------------------
+# SMAP/SMOS thin-ice thickness (University of Bremen mix product) — the
+# secondary instrument of the reference's IS2+SMAP fusion pipeline
+# (reference: IS2_SM_GP/cache_smap_data.py:20-77 cache+availability report,
+# IS2_SMAP_GPSat_train.py:142-350 per-date ingestion)
+# ---------------------------------------------------------------------------
+
+_SMAP_URL_FMT = ("https://data.seaice.uni-bremen.de/smos_smap/netCDF/north/"
+                 "{year}/{compact}_north_mix_sit_v300.nc")
+_SMAP_THICKNESS_VARS = ("combined_thickness", "smap_thickness",
+                        "smos_thickness")
+
+
+def smap_url(date_str):
+    """Upstream URL for one day's SMAP/SMOS mix product
+    (reference: cache_smap_data.py:41)."""
+    compact = date_str.replace("-", "")
+    return _SMAP_URL_FMT.format(year=compact[:4], compact=compact)
+
+
+def smap_cache_path(date_str, cache_dir):
+    """Canonical local cache filename (reference: cache_smap_data.py:48)."""
+    compact = date_str.replace("-", "")
+    return os.path.join(cache_dir, f"{compact}_north_mix_sit_v300.nc")
+
+
+def check_and_cache_smap_date(date_str, cache_dir, fetcher=None):
+    """Ensure one day's SMAP file is in the local cache.
+
+    Returns {"date", "success", "cached", "missing"} exactly like the
+    reference (cache_smap_data.py:20-77). `fetcher(url, dest_path)` performs
+    the download; the default uses urllib and degrades to missing=True when
+    the network is unavailable (this environment has no egress — pre-seed
+    the cache directory, or pass a custom fetcher).
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+    path = smap_cache_path(date_str, cache_dir)
+    result = {"date": date_str, "success": False, "cached": False,
+              "missing": False}
+    if os.path.exists(path):
+        result.update(success=True, cached=True)
+        return result
+    if fetcher is None:
+        def fetcher(url, dest):
+            import urllib.request
+            with urllib.request.urlopen(url, timeout=30) as r, \
+                    open(dest, "wb") as f:
+                f.write(r.read())
+    try:
+        fetcher(smap_url(date_str), path)
+        result["success"] = True
+    except Exception:
+        if os.path.exists(path):    # remove partial download
+            os.remove(path)
+        result["missing"] = True
+    return result
+
+
+def cache_smap_date_range(start_date, end_date, cache_dir, fetcher=None,
+                          report_csv=None, verbose=False):
+    """Cache a date range + availability report DataFrame
+    (reference: cache_smap_data.py:79-180; columns date/success/cached/
+    missing, optional CSV dump)."""
+    days = pd.date_range(start_date, end_date, freq="D")
+    rows = []
+    for d in days:
+        r = check_and_cache_smap_date(d.strftime("%Y-%m-%d"), cache_dir,
+                                      fetcher=fetcher)
+        if verbose:
+            status = ("cached" if r["cached"] else
+                      "downloaded" if r["success"] else "missing")
+            print(f"[{r['date']}] {status}")
+        rows.append(r)
+    report = pd.DataFrame(rows)
+    if report_csv:
+        report.to_csv(report_csv, index=False)
+    return report
+
+
+def load_smap_data_for_date(date_str, cache_dir, thickness_min=0.0,
+                            thickness_max=0.5, coarsen_factor=1,
+                            exclude_regions=(), region_grid=None,
+                            lonlat_path=None, is2_grid=None,
+                            val_col="ice_thickness", fetcher=None):
+    """One day's SMAP thin-ice thickness as tidy training rows.
+
+    Reference semantics (IS2_SMAP_GPSat_train.py:142-350): read the cached
+    netCDF (downloading it on miss via `check_and_cache_smap_date`), pick
+    combined_thickness > smap_thickness > smos_thickness, convert cm -> m,
+    keep thickness in [thickness_min, thickness_max] (SMAP is only valid
+    for thin ice), stride-coarsen by `coarsen_factor`, and optionally drop
+    points whose nearest cell of `region_grid` (an (x, y, mask) triple,
+    e.g. the IS2SITMOGR4 region_mask) is in `exclude_regions` (the
+    reference excludes the Central Arctic). Returns a DataFrame
+    (x, y, val_col, time) — empty, same columns, when the file is missing
+    (the reference's graceful degrade). With `is2_grid=(x_grid, y_grid)`
+    also returns the product binned onto the IS2 grid via `bin_to_is2`.
+
+    Grid coordinates come from the file's x/y variables when present;
+    otherwise from a NSIDC0771-style lon/lat companion file (`lonlat_path`,
+    flipped north-up like the reference) projected with the in-house EASE2
+    transform.
+    """
+    empty = pd.DataFrame(columns=["x", "y", val_col, "time"])
+    r = check_and_cache_smap_date(date_str, cache_dir, fetcher=fetcher)
+    if not r["success"]:
+        return (empty, None) if is2_grid is not None else empty
+    ds = read_netcdf(smap_cache_path(date_str, cache_dir))
+
+    name = next((n for n in _SMAP_THICKNESS_VARS if n in ds), None)
+    assert name is not None, \
+        f"no SMAP thickness variable found (tried {_SMAP_THICKNESS_VARS})"
+    thick = np.asarray(ds[name].values, dtype=float).squeeze() / 100.0
+
+    try:
+        x, y = _grid_xy(ds)
+        xm, ym = np.meshgrid(x, y)
+    except KeyError:
+        assert lonlat_path is not None, \
+            "SMAP file has no x/y grid; provide lonlat_path (NSIDC0771)"
+        ll = read_netcdf(lonlat_path)
+        lat = np.asarray(ll["latitude"].values, dtype=float).squeeze()[::-1]
+        lon = np.asarray(ll["longitude"].values, dtype=float).squeeze()[::-1]
+        xm, ym = WGS84toEASE2(lon=lon, lat=lat)
+
+    ok = np.isfinite(thick) & (thick >= thickness_min) & \
+        (thick <= thickness_max)
+    thick = np.where(ok, thick, np.nan)
+    if coarsen_factor > 1:
+        thick = thick[::coarsen_factor, ::coarsen_factor]
+        xm = xm[::coarsen_factor, ::coarsen_factor]
+        ym = ym[::coarsen_factor, ::coarsen_factor]
+
+    valid = np.isfinite(thick)
+    df = pd.DataFrame({"x": xm[valid], "y": ym[valid],
+                       val_col: thick[valid]})
+    df["time"] = np.datetime64(date_str)
+
+    if exclude_regions and region_grid is not None and len(df):
+        from scipy.spatial import cKDTree
+        rx, ry, rmask = region_grid
+        rxm, rym = np.meshgrid(np.asarray(rx, float), np.asarray(ry, float))
+        rv = np.asarray(rmask, float).reshape(-1)
+        fin = np.isfinite(rv)
+        tree = cKDTree(np.column_stack([rxm.reshape(-1)[fin],
+                                        rym.reshape(-1)[fin]]))
+        _, nn = tree.query(df[["x", "y"]].values)
+        drop = np.isin(rv[fin][nn], list(exclude_regions))
+        df = df.loc[~drop].reset_index(drop=True)
+
+    if is2_grid is not None:
+        gx, gy = is2_grid
+        gridded = bin_to_is2(df, gx, gy, val_col=val_col) if len(df) else None
+        return df, gridded
+    return df
 
 
 def bin_to_is2(df, x_grid, y_grid, val_col="ice_thickness", grid_res=25_000,

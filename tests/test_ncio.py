@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 
 from gpsat_tpu import ncio
+from gpsat_tpu.ncio import NcDataset, NcVariable, read_netcdf, write_netcdf
 from gpsat_tpu.dataloader import DataLoader
 
 
@@ -134,3 +135,75 @@ def test_decode_fill_and_scale(tmp_path):
     z = ds.data_vars["z"].values
     np.testing.assert_allclose(z[:2], [5.0, 6.0])
     assert np.isnan(z[2])
+
+
+def test_combine_monthly_netcdf(tmp_path):
+    """End-to-end monthly-product combiner (reference:
+    IS2_SM_GP/combine_monthly_netcdf.py): collect run dirs, concat along
+    time, attach cell area / region mask (CAA masked from thickness only)
+    / middle-day SIC, write + re-read."""
+    from examples.combine_monthly_netcdf import (collect_monthly_files,
+                                                 combine_monthly_netcdf,
+                                                 parse_date_from_filename)
+    rng = np.random.default_rng(0)
+    x = np.arange(-100e3, 100e3 + 1, 25e3)
+    y = np.arange(-75e3, 75e3 + 1, 25e3)
+    ny, nx = len(y), len(x)
+    months = [(2018, 11), (2018, 12), (2019, 1)]
+    for yr, mo in months:
+        sub = tmp_path / f"run_30days_smap_{yr:04d}{mo:02d}15_v01"
+        sub.mkdir()
+        ds = NcDataset(
+            coords={"x": x, "y": y},
+            data_vars={
+                "ice_thickness": NcVariable(
+                    ("y", "x"), rng.uniform(0.5, 3.0, (ny, nx))),
+                "ice_thickness_unc": NcVariable(
+                    ("y", "x"), rng.uniform(0.0, 0.5, (ny, nx)))})
+        write_netcdf(ds, str(sub / f"IS2_interp_{yr:04d}-{mo:02d}-15.nc"))
+    (tmp_path / "not_a_run_dir").mkdir()
+
+    # static fields
+    area = NcDataset(coords={"x": x, "y": y},
+                     data_vars={"cell_area": NcVariable(
+                         ("y", "x"), np.full((ny, nx), 625e6))})
+    write_netcdf(area, str(tmp_path / "cell_area.nc"))
+    rmask = np.ones((ny, nx))
+    rmask[-1, :] = 12.0     # CAA row (pre-flip orientation)
+    rm = NcDataset(coords={"x": x, "y": y},
+                   data_vars={"sea_ice_region_surface_mask": NcVariable(
+                       ("y", "x"), rmask)})
+    write_netcdf(rm, str(tmp_path / "region_mask.nc"))
+    # middle-day SIC for one month only
+    sic_dir = tmp_path / "sic" / "2018"
+    sic_dir.mkdir(parents=True)
+    conc = rng.uniform(0, 1, (ny, nx))
+    write_netcdf(NcDataset(coords={"x": x, "y": y},
+                           data_vars={"cdr_seaice_conc": NcVariable(
+                               ("y", "x"), conc)}),
+                 str(sic_dir / "seaice_conc_daily_20181215_v04.nc"))
+
+    assert parse_date_from_filename("IS2_interp_2018-11-15.nc") is not None
+    files, dates = collect_monthly_files(str(tmp_path), "run_30days_smap",
+                                         "v01")
+    assert len(files) == 3
+    assert [d.strftime("%Y-%m") for d in dates] == ["2018-11", "2018-12",
+                                                    "2019-01"]
+    out_nc = str(tmp_path / "combined.nc")
+    combined = combine_monthly_netcdf(
+        str(tmp_path), cell_area_path=str(tmp_path / "cell_area.nc"),
+        region_mask_path=str(tmp_path / "region_mask.nc"),
+        sic_dir=str(tmp_path / "sic"), out_path=out_nc)
+    th = combined["ice_thickness"].values
+    assert th.shape == (3, ny, nx)
+    # region mask is flipped north-up: CAA row lands at index 0
+    assert np.isnan(th[:, 0, :]).all()          # CAA masked in thickness
+    assert np.isfinite(th[:, 1:, :]).all()
+    sic = combined["sea_ice_conc"].values
+    np.testing.assert_allclose(sic[1], conc[::-1], rtol=1e-6)  # 2018-12
+    assert np.isnan(sic[0]).all() and np.isnan(sic[2]).all()
+    assert combined["region_mask"].values.dtype == np.int16
+    # roundtrip through the native writer/reader
+    back = read_netcdf(out_nc)
+    assert back["ice_thickness"].values.shape == (3, ny, nx)
+    np.testing.assert_allclose(back["grid_cell_area"].values[0, 0], 625e6)

@@ -3,6 +3,8 @@ netCDF files written with the in-house ncio — the reference's extra_funcs.py
 ingestion surface (along-track preprocess, IS2SITMOGR4 gridded reader, SIC
 pseudo-observations, bin-to-grid)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -128,3 +130,95 @@ def test_bin_to_is2_grid_alignment():
     # bins are centred on the 25 km grid
     assert set(np.unique(bdf["x"].values)) <= set(
         np.arange(-212.5 * KM + 25 * KM / 2, 213 * KM, 25 * KM))
+
+
+def _write_smap(path, seed=7):
+    """SMAP/SMOS Bremen mix product shape: 2-d combined_thickness in CM on
+    an x/y grid (reference: IS2_SMAP_GPSat_train.py:142-350)."""
+    rng = np.random.default_rng(seed)
+    x = np.arange(-500 * KM, 500 * KM + 1, 12.5 * KM)
+    y = np.arange(-400 * KM, 400 * KM + 1, 12.5 * KM)
+    thick_cm = rng.uniform(0.0, 40.0, (len(y), len(x)))   # 0 - 0.4 m
+    thick_cm[0, :] = 120.0          # thick ice: filtered (> 0.5 m)
+    thick_cm[1, :] = np.nan         # missing
+    ds = NcDataset(
+        coords={"x": x, "y": y},
+        data_vars={"combined_thickness": NcVariable(("y", "x"), thick_cm),
+                   "smap_thickness": NcVariable(("y", "x"), thick_cm * 0.9)})
+    write_netcdf(ds, path)
+    return x, y, thick_cm
+
+
+def test_smap_cache_and_availability(tmp_path):
+    from gpsat_tpu.satdata import (cache_smap_date_range,
+                                   check_and_cache_smap_date,
+                                   smap_cache_path, smap_url)
+    cache = str(tmp_path / "smap")
+    assert smap_url("2019-01-15").endswith(
+        "north/2019/20190115_north_mix_sit_v300.nc")
+    # pre-seed one day -> cached; rest of the range -> missing (fetcher
+    # that raises simulates the zero-egress environment)
+    _write_smap(smap_cache_path("2019-01-15", cache) if os.path.isdir(cache)
+                else (os.makedirs(cache) or
+                      smap_cache_path("2019-01-15", cache)))
+
+    def no_net(url, dest):
+        raise OSError("no egress")
+
+    r = check_and_cache_smap_date("2019-01-15", cache, fetcher=no_net)
+    assert r["success"] and r["cached"]
+    rep = cache_smap_date_range("2019-01-14", "2019-01-16", cache,
+                                fetcher=no_net,
+                                report_csv=str(tmp_path / "avail.csv"))
+    assert list(rep["missing"]) == [True, False, True]
+    assert pd.read_csv(str(tmp_path / "avail.csv")).shape[0] == 3
+    # a failed download never leaves a partial file behind
+    def partial(url, dest):
+        with open(dest, "wb") as f:
+            f.write(b"junk")
+        raise OSError("interrupted")
+    r2 = check_and_cache_smap_date("2019-01-20", cache, fetcher=partial)
+    assert r2["missing"]
+    assert not os.path.exists(smap_cache_path("2019-01-20", cache))
+
+
+def test_load_smap_data_for_date(tmp_path):
+    from gpsat_tpu.satdata import load_smap_data_for_date, smap_cache_path
+    cache = str(tmp_path / "smap")
+    os.makedirs(cache)
+    x, y, thick_cm = _write_smap(smap_cache_path("2019-01-15", cache))
+    df = load_smap_data_for_date("2019-01-15", cache,
+                                 fetcher=lambda u, d: (_ for _ in ()).throw(
+                                     OSError("no egress")))
+    # cm -> m, [0, 0.5] filter applied, thick/missing rows dropped
+    assert len(df) == np.isfinite(thick_cm[2:]).sum()
+    assert df["ice_thickness"].max() <= 0.5
+    np.testing.assert_allclose(
+        sorted(df["ice_thickness"])[-1],
+        np.nanmax(thick_cm[2:]) / 100.0)
+    assert (pd.to_datetime(df["time"]) == pd.Timestamp("2019-01-15")).all()
+    # coarsening strides the grid
+    df2 = load_smap_data_for_date("2019-01-15", cache, coarsen_factor=2)
+    assert set(np.unique(df2["x"])) <= set(x[::2])
+    # region exclusion drops points whose nearest region cell is excluded
+    rx = np.array([-500 * KM, 500 * KM])
+    ry = np.array([-400 * KM, 400 * KM])
+    rmask = np.array([[1.0, 2.0], [1.0, 2.0]])   # region 2 = east half
+    df3 = load_smap_data_for_date("2019-01-15", cache, exclude_regions=[2],
+                                  region_grid=(rx, ry, rmask))
+    assert df3["x"].max() <= 0.0
+    assert len(df3) < len(df)
+    # missing day -> empty frame with the contract columns
+    miss = load_smap_data_for_date("2019-02-01", cache,
+                                   fetcher=lambda u, d: (_ for _ in ()).throw(
+                                       OSError("no egress")))
+    assert miss.empty and list(miss.columns) == ["x", "y", "ice_thickness",
+                                                 "time"]
+    # gridded companion output
+    gx = np.arange(-500 * KM, 500 * KM + 1, 25 * KM)
+    gy = np.arange(-400 * KM, 400 * KM + 1, 25 * KM)
+    df4, gridded = load_smap_data_for_date("2019-01-15", cache,
+                                           is2_grid=(gx, gy))
+    assert gridded is not None
+    assert np.isfinite(
+        gridded.to_dataframe()["ice_thickness"].values).mean() > 0.5

@@ -320,6 +320,35 @@ def test_bin_data_chunked_batch_mode(tmp_path, sample_df):
         assert s.get_attr("data", "config") is not None
 
 
+def test_bin_data_batch_probe_is_out_of_core(tmp_path, sample_df,
+                                             monkeypatch):
+    """batch=True never materialises the full table: the unique-value probe
+    reads only the load_by column subset through the store's pushdown
+    reader (reference iterates the HDF store in chunks for the same reason,
+    GPSat/bin_data.py:418-440)."""
+    from gpsat_tpu.bin_data import BinData
+    path = str(tmp_path / "raw.h5")
+    DataLoader.write_to_hdf(sample_df, path, table="data")
+    calls = []
+    orig = ResultsStore.select
+
+    def spy(self, table, where=None, columns=None, set_index=True):
+        calls.append({"where": where, "columns": columns})
+        return orig(self, table, where=where, columns=columns,
+                    set_index=set_index)
+
+    monkeypatch.setattr(ResultsStore, "select", spy)
+    bd = BinData(input={"source": path, "table": "data"},
+                 bin_config={"by_cols": ["source"], "val_col": "z",
+                             "x_range": [-4, 4], "y_range": [-4, 4],
+                             "grid_res": 2.0})
+    bd.bin_data(batch=True, load_by="source")
+    # probe read: column subset only; chunk reads: where-pushdown on load_by
+    assert calls[0]["columns"] == ["source"]
+    assert all(c["where"] for c in calls[1:])
+    assert all(c["columns"] is None for c in calls[1:])
+
+
 def test_get_masks_for_expert_loc_had_obs():
     """'had_obs' keeps only grid cells with any non-NaN obs across dates
     (reference: GPSat/dataloader.py:2716-2791)."""

@@ -273,6 +273,40 @@ def test_batched_svgp_minibatch():
             (i, out["objective"][i], bound)
 
 
+def test_minibatch_stored_objective_is_full_elbo():
+    """Pin the deliberate semantic divergence from the reference: for
+    minibatched runs the reference stores a minibatch-AVERAGED ELBO
+    estimate (GPSat/models/gpflow_models.py:1101); this engine stores the
+    exact FULL-data ELBO at the final state (the better, noise-free
+    number). This test is the contract — if the stored objective ever
+    changes meaning, it fails."""
+    from gpsat_tpu.ops import svgp as svgp_math
+    B, N, D, M = 2, 48, 2, 8
+    Xb, yb = [], []
+    for i in range(B):
+        X, y = make_data(N, d=D, seed=90 + i)
+        Xb.append(X); yb.append(y - y.mean())
+    Xb = np.stack(Xb); yb = np.stack(yb)
+    mask = np.ones((B, N), dtype=bool)
+    engine = BatchedSVGP(coords_dim=D, num_inducing_points=M,
+                         minibatch_size=16,
+                         optim_kwargs={"max_iter": 300, "persistence": 100,
+                                       "natural_gradients": True,
+                                       "gamma": 0.5})
+    out = engine.fit_predict(Xb, yb, mask, optimise=True, predict=False)
+    for i in range(B):
+        p = {k: jnp.asarray(out["params"][k][i])
+             for k in ("lengthscales", "kernel_variance",
+                       "likelihood_variance")}
+        full = float(svgp_math.elbo(
+            p, jnp.asarray(out["params"]["inducing_mean"][i]),
+            jnp.asarray(out["params"]["inducing_chol"][i]),
+            jnp.asarray(Xb[i]), jnp.asarray(yb[i]), jnp.asarray(mask[i]),
+            jnp.asarray(out["params"]["inducing_points"][i]),
+            jnp.asarray(out["inducing_mask"][i]), scale=1.0))
+        np.testing.assert_allclose(out["objective"][i], full, rtol=1e-8)
+
+
 def test_batched_sgpr_train_inducing_points():
     from gpsat_tpu.models.batched import BatchedSGPR
     B, N, D, M = 2, 48, 2, 6
