@@ -21,6 +21,12 @@ L-BFGS-B parity (test_ops_gpr), the reference-produced PurePythonGPR
 fixture (test_reference_golden, reference tolerances 1e-6 objective /
 1e-3 lengthscales), and masked==unpadded identities — this file then
 guards against *drift* from that externally-validated state.
+
+Round-3 regeneration: the clean-accept-gated trial-scale warm start
+(ops/lbfgs.py) moved f64 optimiser trajectories by ~1.4e-6 in preds (old
+golden failed at tol 1e-6 by that margin). Regenerated per the procedure
+above; scipy parity + the reference-produced fixture re-passed unchanged
+in the same change-set.
 """
 
 import json
