@@ -71,7 +71,7 @@ def main():
         status = "PASS" if finite else "FAIL"
         n_pass += finite
         print(f"  jitter={jitter:>7.0e} dtype={np.dtype(dtype).name:<7} "
-              f"{status}  nlml={nlml:10.3f} opt_success={ok_opt}")
+              f"{status}  nlml={nlml:12.5f} opt_success={ok_opt}")
     # jitter=0 f32 is ALLOWED to fail (that is the point of jitter); every
     # jittered configuration must pass
     jittered = len(cases) - 2

@@ -46,10 +46,10 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
         from gpsat_tpu.ops.pallas_gpr import pallas_vg_supported
         vg_fun = make_gpr_vg_fun(kernel, free_names, d) \
             if pallas_vg_supported(kernel, d, X.shape[1]) else None
-        mls, mf = linesearch_policy(X.dtype)
+        mls, rec = linesearch_policy(X.dtype)
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
-            ftol, 10, mls, "custom", vg_fun=vg_fun, max_fails=mf)
+            ftol, 10, mls, "custom", vg_fun=vg_fun, recovery_steps=rec)
     else:
         u = u0
         if compute_fval:
@@ -426,14 +426,14 @@ class BatchedGPR:
             lambda a: np.broadcast_to(np.asarray(a, dtype=self.dtype),
                                       (E,) + np.asarray(a).shape), bij)
         objective, vg_fun = self._pool_objective(N=X.shape[1])
-        mls, mf = linesearch_policy(self.dtype)
+        mls, rec = linesearch_policy(self.dtype)
         res = batched_lbfgs_pool(
             objective, u0,
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
              np.asarray(mask)) + tuple(extra) + (bij_b, fixed),
             slots=slots, max_iter=self.max_iter,
             gtol=self.gtol, ftol=self.ftol, vg_fun=vg_fun, mesh=mesh,
-            max_linesearch_steps=mls, max_fails=mf)
+            max_linesearch_steps=mls, recovery_steps=rec)
         self._last_pool_iterations = int(res.pool_iterations)
         return (np.asarray(res.x), np.asarray(res.fun),
                 np.asarray(res.converged), np.asarray(res.iterations))
@@ -703,11 +703,11 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
         vg_fun = make_sgpr_vg_fun(kernel, free_names, d, jitter) \
             if (not train_z and pallas_sgpr_vg_supported(
                 kernel, d, X.shape[1], M)) else None
-        mls, mf = linesearch_policy(X.dtype)
+        mls, rec = linesearch_policy(X.dtype)
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, Z, zmask, bijectors, fixed),
             max_iter, gtol, ftol, 10, mls, "custom", vg_fun=vg_fun,
-            max_fails=mf)
+            recovery_steps=rec)
     else:
         u = u0
         if compute_fval:
@@ -1296,10 +1296,10 @@ def _vff_fit_predict(u0, X, y, mask, a, b, Xs, bijectors, fixed, *, kernel,
                                 jitter=jitter)
 
     if optimise and free_names:
-        mls, mf = linesearch_policy(X.dtype)
+        mls, rec = linesearch_policy(X.dtype)
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, a, b, bijectors, fixed),
-            max_iter, gtol, ftol, 10, mls, "custom", max_fails=mf)
+            max_iter, gtol, ftol, 10, mls, "custom", recovery_steps=rec)
     else:
         u = u0
         if compute_fval:

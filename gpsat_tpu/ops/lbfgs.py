@@ -24,20 +24,21 @@ __all__ = ["batched_lbfgs", "LBFGSResult", "linesearch_policy"]
 
 
 def linesearch_policy(dtype):
-    """(max_linesearch_steps, max_fails) by working precision.
+    """(max_linesearch_steps, recovery_steps) by working precision.
 
     f32 (the TPU production dtype): the objective's noise floor is
-    ~1e-4 relative, so an exhausted backtracking chain means the slot is
-    converged-to-noise — end it there (max_fails=1) and don't probe scales
-    below 2^-8 (measured on the bench sweep: <2% of accepted steps used
-    t < 2^-8, each costing 8+ rejected evals; the post-fail steepest-
-    descent retry recovered 2.5% of accepts for ~12 evals per slot —
-    tpu_stuff/linesearch_stats.py). f64: keep the conservative scipy-style
-    policy (full 12-step chain, one steepest-descent recovery).
+    ~1e-4 relative, so deep backtracking chains grind noise — don't probe
+    scales below 2^-8 (measured on the bench sweep: <2% of accepted steps
+    used t < 2^-8, each costing 8+ rejected evals), and give the post-fail
+    steepest-descent recovery only a 4-halving chain (it recovered 2.5% of
+    accepts on the bench but is essential on small/multimodal experts,
+    where ending on the first exhausted chain measurably lost ~2-3% of
+    objective — tpu_stuff/linesearch_stats.py). f64: the conservative
+    scipy-style policy (full 12-step chains for both).
     """
     if jnp.dtype(dtype) == jnp.float32:
-        return 8, 1
-    return 12, 2
+        return 8, 4
+    return 12, 12
 
 
 class LBFGSResult(dict):
@@ -51,7 +52,8 @@ class LBFGSResult(dict):
 
 
 def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
-               gtol, ftol, memory_size, max_linesearch_steps, max_fails=2):
+               gtol, ftol, memory_size, max_linesearch_steps,
+               recovery_steps=None):
     """Build the per-iteration body over the L-BFGS carry tuple
     (it, x, f, g, S, Y, rho, gamma, done, iters, fail_cnt, t, backed).
 
@@ -105,6 +107,10 @@ def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
     # tpu_stuff/microbench_trip.py)
     t_min = 0.5 ** max_linesearch_steps   # python float: weak-typed ops keep
                                           # the carry dtype
+    # the post-reset steepest-descent recovery chain may be shorter (f32
+    # policy: 4 halvings) — see linesearch_policy
+    t_min_rec = 0.5 ** (recovery_steps if recovery_steps is not None
+                        else max_linesearch_steps)
 
     # unit-trial cap for STEEPEST-DESCENT-LIKE directions only (no usable
     # curvature history, or a non-descent two-loop result): those can have
@@ -169,23 +175,23 @@ def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
             jnp.abs(f - f_try) <= ftol * jnp.maximum(
                 jnp.maximum(jnp.abs(f), jnp.abs(f_try)), 1.0))
         # a slot fails when its backtracking scale is exhausted without an
-        # acceptable point. With max_fails=2 (the f64 policy): first failure
-        # resets that slot's curvature history so the next direction is
-        # steepest descent (the scipy recovery); a second consecutive
-        # failure ends the slot. With max_fails=1 (the f32 policy): the
-        # first exhausted chain ends the slot — measured on the bench
-        # objective (tpu_stuff/linesearch_stats.py), an exhausted chain in
-        # f32 means the slot is grinding the objective's ~1e-4-relative
-        # noise floor; the steepest-descent retry recovered only 2.5% of
-        # accepts while costing a second full chain (~35% of ALL trials
-        # were post-last-accept endgame).
-        fail = (~accept) & (~done) & (t <= t_min)
+        # acceptable point. First failure: reset that slot's curvature
+        # history so the next direction is steepest descent (the scipy
+        # recovery) with a fresh t=1 but a possibly SHORTER chain
+        # (t_min_rec; the f32 policy gives the recovery 4 halvings — it
+        # recovered only 2.5% of accepts on the production-shape bench,
+        # where the endgame grinds the f32 noise floor, but rescues small/
+        # multimodal experts stuck on plateaus, where ending on the first
+        # exhausted chain measurably lost ~2-3% of objective). A second
+        # exhausted chain ends the slot.
+        fail = (~accept) & (~done) & (
+            t <= jnp.where(fail_cnt >= 1, t_min_rec, t_min))
         fail_cnt = jnp.where(fail, fail_cnt + 1,
                              jnp.where(accept, 0, fail_cnt))
-        reset = fail & (fail_cnt == 1) & (max_fails > 1)
+        hard_fail = fail & (fail_cnt >= 2)
+        reset = fail & (~hard_fail) & (fail_cnt == 1)
         rho = jnp.where(reset[None, :], 0.0, rho)
         gamma = jnp.where(reset, 1.0, gamma)
-        hard_fail = fail & (fail_cnt >= max_fails)
         iters = iters + jnp.where(accept, 1, 0)
         hit_cap = iters >= max_iter
         newly_done = (~done) & (grad_small | f_change | hard_fail | hit_cap)
@@ -233,12 +239,12 @@ def _init_carry(batched_value_and_grad, x0, gtol, memory_size):
 
 def _batch_lbfgs_loop(batched_value_and_grad, x0, max_iter,
                       gtol, ftol, memory_size, max_linesearch_steps,
-                      max_fails=2):
+                      recovery_steps=None):
     """Core batch-level loop. x0: [B, P]. Returns (x, f, converged, iters)."""
     B, P = x0.shape
     body = _make_step(batched_value_and_grad, B, P, x0.dtype,
                       max_iter, gtol, ftol, memory_size, max_linesearch_steps,
-                      max_fails)
+                      recovery_steps)
 
     # each global iteration is one TRIAL; a slot needs at most
     # (max_linesearch_steps + 1) trials per accepted step, and hard-fail /
@@ -258,10 +264,10 @@ def _batch_lbfgs_loop(batched_value_and_grad, x0, max_iter,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "engine", "vg_fun", "max_fails"))
+                                   "engine", "vg_fun", "recovery_steps"))
 def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
                        memory_size, max_linesearch_steps, engine="custom",
-                       vg_fun=None, max_fails=2):
+                       vg_fun=None, recovery_steps=None):
     """vg_fun, if given, overrides the per-trial value_and_grad:
     vg_fun(x [B, P], *args) -> ([B], [B, P]) (the fused Pallas
     value+gradient kernel); otherwise autodiff through `fun`. Every trial
@@ -285,12 +291,13 @@ def _batched_lbfgs_jit(fun, x0, args, max_iter, gtol, ftol,
             return jax.vmap(jax.value_and_grad(fun))(x)
 
     return _batch_lbfgs_loop(value_and_grad, x0, max_iter, gtol, ftol,
-                             memory_size, max_linesearch_steps, max_fails)
+                             memory_size, max_linesearch_steps,
+                             recovery_steps)
 
 
 def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
                   memory_size=10, max_linesearch_steps=12, engine="custom",
-                  max_fails=2):
+                  recovery_steps=None):
     """Minimise `fun(x, *args_i) -> scalar` for a batch of problems.
 
     Parameters
@@ -307,7 +314,7 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
     x, f, conv, iters = _batched_lbfgs_jit(fun, x0, tuple(args), max_iter,
                                            gtol, ftol, memory_size,
                                            max_linesearch_steps, engine,
-                                           max_fails=max_fails)
+                                           recovery_steps=recovery_steps)
     return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters)
 
 
@@ -331,20 +338,20 @@ def batched_lbfgs(fun, x0, args=(), max_iter=500, gtol=1e-6, ftol=1e-11,
 
 @partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "vg_fun", "max_fails"))
+                                   "vg_fun", "recovery_steps"))
 def _lbfgs_pool_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
                     memory_size, max_linesearch_steps, vg_fun=None,
-                    max_fails=2):
+                    recovery_steps=None):
     return _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-                      memory_size, max_linesearch_steps, vg_fun, max_fails)
+                      memory_size, max_linesearch_steps, vg_fun, recovery_steps)
 
 
 @partial(jax.jit, static_argnames=("fun", "slots", "max_iter", "gtol", "ftol",
                                    "memory_size", "max_linesearch_steps",
-                                   "vg_fun", "mesh", "max_fails"))
+                                   "vg_fun", "mesh", "recovery_steps"))
 def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
                          memory_size, max_linesearch_steps, vg_fun, mesh,
-                         max_fails=2):
+                         recovery_steps=None):
     """One independent pool per device: experts shard over the mesh's
     leading axis and each device drains its own slot pool — zero collectives
     (experts are independent, SURVEY.md §2.4). Per-expert trajectories are
@@ -362,7 +369,7 @@ def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
     def local(x0, args):
         x, f, conv, iters, nit = _pool_core(
             fun, x0, args, slots, max_iter, gtol, ftol, memory_size,
-            max_linesearch_steps, vg_fun, max_fails)
+            max_linesearch_steps, vg_fun, recovery_steps)
         return x, f, conv, iters, nit.reshape(1)
 
     # prefix pytree: one spec covers every [E_local, ...] leaf of args
@@ -383,7 +390,7 @@ def _lbfgs_pool_mesh_jit(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
 
 def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
-               memory_size, max_linesearch_steps, vg_fun=None, max_fails=2):
+               memory_size, max_linesearch_steps, vg_fun=None, recovery_steps=None):
     E, P = x0_all.shape
     B = slots
     dtype = x0_all.dtype
@@ -415,7 +422,7 @@ def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
         carry, slot_expert, next_expert, live, ox, of, oc, oi = state
         step = _make_step(vg_at(slot_expert), B, P,
                           dtype, max_iter, gtol, ftol, m,
-                          max_linesearch_steps, max_fails)
+                          max_linesearch_steps, recovery_steps)
         carry = step(carry)
         harvest = carry[8] & live
 
@@ -472,7 +479,7 @@ def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
 
 def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
                        ftol=1e-11, memory_size=10, max_linesearch_steps=12,
-                       vg_fun=None, mesh=None, max_fails=2):
+                       vg_fun=None, mesh=None, recovery_steps=None):
     """Minimise `fun` for E independent problems through a `slots`-wide
     device-resident pool (see block comment above).
 
@@ -500,7 +507,7 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
         B = int(min(slots, E_pad // n_sh))
         x, f, conv, iters, nit = _lbfgs_pool_mesh_jit(
             fun, x0_in, args_in, B, max_iter, gtol, ftol, memory_size,
-            max_linesearch_steps, vg_fun, mesh, max_fails=max_fails)
+            max_linesearch_steps, vg_fun, mesh, recovery_steps=recovery_steps)
         return LBFGSResult(x=x[:E], fun=f[:E], converged=conv[:E],
                            iterations=iters[:E],
                            pool_iterations=jnp.max(nit))
@@ -508,7 +515,7 @@ def batched_lbfgs_pool(fun, x0_all, args_all, slots, max_iter=500, gtol=1e-6,
     x, f, conv, iters, nit = _lbfgs_pool_jit(
         fun, jnp.asarray(x0_all), jax.tree.map(jnp.asarray, tuple(args_all)),
         B, max_iter, gtol, ftol, memory_size, max_linesearch_steps,
-        vg_fun=vg_fun, max_fails=max_fails)
+        vg_fun=vg_fun, recovery_steps=recovery_steps)
     return LBFGSResult(x=x, fun=f, converged=conv, iterations=iters,
                        pool_iterations=nit)
 

@@ -45,10 +45,10 @@ def run(E=64, N=400, D=3):
             bij_b, fixed)
 
     out = {}
-    for label, mls, mf in (("f32-policy", 8, 1), ("conservative", 12, 2)):
+    for label, mls, rec in (("f32-policy", 8, 4), ("conservative", 12, 12)):
         res = batched_lbfgs(objective, u0, args=args, max_iter=250,
                             gtol=1e-5, ftol=1e-9,
-                            max_linesearch_steps=mls, max_fails=mf)
+                            max_linesearch_steps=mls, recovery_steps=rec)
         out[label] = np.asarray(res.fun)
         print(f"{label:13s} conv {np.mean(np.asarray(res.converged)):.3f} "
               f"iters mean {np.mean(np.asarray(res.iterations)):.1f} "

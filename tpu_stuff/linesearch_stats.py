@@ -69,9 +69,9 @@ def main(E=64, N=400, D=3, max_its=600):
         ftry_log.append(np.asarray(f))
         return f, g
 
-    mls, mf = lb.linesearch_policy(dtype)
+    mls, rec = lb.linesearch_policy(dtype)
     body = lb._make_step(vg_rec, E, P, dtype, engine.max_iter, engine.gtol,
-                         engine.ftol, 10, mls, mf)
+                         engine.ftol, 10, mls, rec)
     step = body                         # EAGER: lets vg_rec record f_try
     carry = _to_np(lb._init_carry(vg, u0, engine.gtol, 10))
 
@@ -81,6 +81,7 @@ def main(E=64, N=400, D=3, max_its=600):
     tail = np.zeros(E, dtype=int)       # live trials since last accept
     rej_deltas = []                     # (tail position, |Δf|/max(|f|,1))
     post_fail_accepts = 0
+    fail_gradratio = []
     conv_kind = {"grad": 0, "fstag": 0, "hard_fail": 0, "cap": 0}
     k = 0
     while k < max_its and not carry[8].all():
@@ -106,12 +107,13 @@ def main(E=64, N=400, D=3, max_its=600):
             rej_deltas.append((int(tail[s]), float(rd[s])))
         for s in np.where(fail)[0]:
             rej_deltas.append((int(tail[s]), float(rd[s])))
+            fail_gradratio.append(float(np.abs(carry[3][s]).max()))
         post_fail_accepts += int((accept & (carry[10] >= 1)).sum())
         tail[live & ~accept] += 1
         newly = new[8] & ~done_prev
         if newly.any():
             gs = np.abs(new[3][newly]).max(axis=-1) < engine.gtol
-            hf = (new[10][newly] >= mf) & ~accept[newly]
+            hf = (new[10][newly] >= 2) & ~accept[newly]
             cap = new[9][newly] >= engine.max_iter
             conv_kind["grad"] += int(gs.sum())
             conv_kind["hard_fail"] += int((hf & ~gs).sum())
@@ -147,6 +149,10 @@ def main(E=64, N=400, D=3, max_its=600):
           f"trials; per-slot mean {tail.mean():.1f} p90 "
           f"{np.percentile(tail, 90):.0f} max {tail.max()}")
     print("convergence kinds:", conv_kind)
+    if fail_gradratio:
+        fg = np.array(fail_gradratio)
+        print("at-fail |g|inf: " + " ".join(
+            f"p{q}={np.percentile(fg, q):.2e}" for q in (10, 50, 90, 99)))
     print(f"accepts AFTER a slot's first fail (recovery value): "
           f"{post_fail_accepts} / {stats['accept']}")
     if len(ta):
