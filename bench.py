@@ -25,7 +25,7 @@ import numpy as np
 # under its own ~10 min timeout (round-2 lesson: BENCH_r02.json rc=124 —
 # an un-capped extras pass lost the already-measured headline). Everything
 # here is budgeted so the one JSON line always lands well inside that.
-_ALL_DEADLINE_S = float(os.environ.get("GPSAT_BENCH_DEADLINE", 480))
+_ALL_DEADLINE_S = float(os.environ.get("GPSAT_BENCH_DEADLINE", 520))
 
 
 def make_workload(E, N, P, D=3, seed=0):
@@ -161,7 +161,13 @@ def main(model="all"):
         # sweep10k needs ~2 x 70 s of sweeps plus setup; only attempt it with
         # generous headroom. sgpr is the production-profile anchor — always
         # attempt it if any budget remains.
-        for m, need in (("sgpr", 60.0), ("sweep10k", 260.0)):
+        # `need` = wall the mode takes with a warm compile cache, plus
+        # margin; a colder cache is covered by the per-child timeout, not
+        # the skip heuristic. (The `scaling` mode is NOT an extra: its
+        # 8-virtual-CPU-device run timeshares the 2-core host for ~3 min —
+        # too slow for the driver budget; the driver's separate multichip
+        # dryrun covers that path.)
+        for m, need in (("sgpr", 110.0), ("sweep10k", 160.0)):
             left = remaining()
             if left < need:
                 extra[m] = {"skipped": f"time budget ({left:.0f}s left)"}

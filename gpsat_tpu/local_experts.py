@@ -663,6 +663,7 @@ class LocalExpertOI:
             [tuple(rl[coords_col].values.reshape(-1))], names=coords_col)
         return pd.DataFrame({
             "num_obs": [num_obs], "run_time": [run_time],
+            "optimise_iterations": [0],
             "objective_value": [objective], "parameters_optimised": [optimise],
             "optimise_success": [success], "model": [model_name],
             "device": [device], "config_id": [config_id]}, index=midx)
@@ -680,9 +681,16 @@ class LocalExpertOI:
         # run_details ------------------------------------------------------
         exp_coords = xprt_locs.loc[ids, coords_col].values
         midx = pd.MultiIndex.from_arrays(exp_coords.T, names=coords_col)
+        # run_time is the bucket average (the reference's schema has one
+        # wall-time per expert row; batched execution has no meaningful
+        # per-expert wall time). The per-expert skew the pool compacts is
+        # exposed via optimise_iterations instead.
+        iters = np.asarray(result.get("iterations",
+                                      np.zeros(b_valid, int)))[:b_valid]
         rd = pd.DataFrame({
             "num_obs": n_obs[ids].astype(int),
             "run_time": np.full(b_valid, per_expert_time),
+            "optimise_iterations": iters.astype(int),
             "objective_value": objective[:b_valid],
             "parameters_optimised": np.full(b_valid, bool(optimise)),
             "optimise_success": (converged[:b_valid] if optimise

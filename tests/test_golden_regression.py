@@ -112,6 +112,7 @@ def golden_exists():
     return GOLDEN
 
 
+@pytest.mark.slow
 def test_replay_matches_golden(golden_exists, tmp_path):
     """Re-run from scratch and compare every value to the golden store."""
     new_store = str(tmp_path / "replay.h5")

@@ -5,6 +5,7 @@ import importlib.util
 import os
 
 import numpy as np
+import pytest
 import jax
 
 
@@ -26,6 +27,7 @@ def test_entry_jits_and_runs():
     assert np.asarray(mean).shape == np.asarray(var).shape
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     mod = _load()
     mod.dryrun_multichip(8)

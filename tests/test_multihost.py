@@ -141,10 +141,14 @@ def test_two_process_matches_single(tmp_path):
         def canon(df):
             df = df.reset_index()
             num = df.select_dtypes(include=[np.number])
-            # positional reset_index artifacts and wall times are not
-            # comparable across runs
+            # positional reset_index artifacts, wall times and optimiser
+            # iteration counts are not comparable across runs (iteration
+            # counts are composition-dependent: batch width changes XLA
+            # vectorisation, whose ulp-level f64 differences flip
+            # near-threshold Armijo accepts without moving the optimum)
             num = num.drop(columns=[c for c in num.columns
                                     if "time" in c or c == "index"
+                                    or c == "optimise_iterations"
                                     or str(c).startswith("level_")])
             return num.sort_values(list(num.columns)).to_numpy()
 

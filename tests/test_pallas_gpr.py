@@ -66,6 +66,7 @@ def test_pallas_value_non_pd_is_nan():
     assert np.isfinite(got[1:]).all()
 
 
+@pytest.mark.slow
 def test_lbfgs_pallas_linesearch_wiring(monkeypatch):
     """Full engine fit with the Pallas value path forced on (interpret mode):
     optimised hyperparameters must match the pure-XLA run."""
@@ -181,6 +182,7 @@ def test_pallas_vg_non_pd_is_nan():
     assert np.isfinite(np.asarray(grads["lengthscales"])[1:]).all()
 
 
+@pytest.mark.slow
 def test_lbfgs_pool_pallas_vg_wiring(monkeypatch):
     """Pooled sweep with both fused paths forced on (interpret mode): results
     must match the pure-XLA pooled run."""

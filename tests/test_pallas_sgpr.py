@@ -168,6 +168,7 @@ def test_sgpr_predict_batched_near_singular_recovers():
     assert np.isfinite(np.asarray(got["f*_var"])).all()
 
 
+@pytest.mark.slow
 def test_sgpr_pool_vg_wiring(monkeypatch):
     """Pooled SGPR sweep with the fused vg path forced on (interpret mode):
     optimised results must match the XLA-objective pool."""
@@ -207,6 +208,7 @@ def test_sgpr_pool_vg_wiring(monkeypatch):
                                rtol=1e-1, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_sgpr_pool_mesh_matches_single_device():
     """The sharded pool (one slot pool per device via shard_map) must
     reproduce the single-device pool per expert (trajectories depend only on
@@ -246,6 +248,7 @@ def test_sgpr_pool_mesh_matches_single_device():
                                rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_gpr_pool_mesh_matches_single_device():
     from gpsat_tpu.models.batched import BatchedGPR
     from gpsat_tpu.parallel.mesh import get_mesh
