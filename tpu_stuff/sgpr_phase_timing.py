@@ -26,7 +26,7 @@ def engine():
         jitter=1e-6, dtype=jnp.float32)
 
 
-for slots in (33, 64):
+for slots in (32,):
     for do_pred in (False, True):
         eng = engine()
         kw = dict(Xs=Xsd if do_pred else None, optimise=True,
