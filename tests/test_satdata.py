@@ -222,3 +222,35 @@ def test_load_smap_data_for_date(tmp_path):
     assert gridded is not None
     assert np.isfinite(
         gridded.to_dataframe()["ice_thickness"].values).mean() > 0.5
+
+
+@pytest.mark.slow
+def test_smap_driver_end_to_end(tmp_path):
+    """The production-style driver runs end-to-end with the real SMAP
+    reader as the secondary instrument source (reference flow:
+    IS2_SMAP_GPSat_train.py — cache lookup, cm->m + thin-ice filter,
+    fusion into the training set, SGPR OI, smooth, re-predict, merge)."""
+    from gpsat_tpu.satdata import smap_cache_path
+    from examples.sea_ice_freeboard_driver import main as driver_main
+
+    KM2 = 1000.0
+    cache = str(tmp_path / "smap")
+    os.makedirs(cache)
+    rng = np.random.default_rng(1)
+    gx = np.arange(-1000 * KM2, 1000 * KM2 + 1, 50 * KM2)
+    gy = np.arange(-1000 * KM2, 1000 * KM2 + 1, 50 * KM2)
+    ds = NcDataset(
+        coords={"x": gx, "y": gy},
+        data_vars={"combined_thickness": NcVariable(
+            ("y", "x"), rng.uniform(0, 45, (len(gy), len(gx))))})
+    write_netcdf(ds, smap_cache_path("2020-01-15", cache))
+
+    store = str(tmp_path / "smap_driver.h5")
+    driver_main(["--num-experts", "2", "--plus-secondary",
+                 "--secondary-smap-dir", cache,
+                 "--secondary-smap-date", "2020-01-15",
+                 "--store", store])
+    from gpsat_tpu.local_experts import get_results_from_h5file
+    dfs, _ = get_results_from_h5file(store, verbose=False)
+    assert "preds_SMOOTHED" in dfs
+    assert np.isfinite(dfs["preds_SMOOTHED"]["f*"].values).all()
