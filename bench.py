@@ -129,9 +129,11 @@ def _run_child(mode, timeout_s, measure_baseline=True):
         return {"error": f"timeout after {timeout_s:.0f}s"}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            parsed = json.loads(line)
         except ValueError:
             continue
+        if isinstance(parsed, dict):    # stray scalar lines are not results
+            return parsed
     tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
     return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[:200]}
 
@@ -151,7 +153,8 @@ def main(model="all"):
     if model == "all":
         t0 = time.monotonic()
         remaining = lambda: _ALL_DEADLINE_S - (time.monotonic() - t0)
-        result = _run_child("gpr", timeout_s=max(60.0, remaining() - 30.0))
+        result = _run_child("gpr", timeout_s=max(60.0, remaining() - 30.0),
+                            measure_baseline=False)
         if "error" in result:
             # headline child died — report it honestly but still emit the line
             result = {"metric": "experts_optimized_per_s_per_chip",
@@ -176,6 +179,23 @@ def main(model="all"):
             extra[m] = (r if "error" in r
                         else {"value": r["value"], "unit": r["unit"]})
         result["extra"] = extra
+        # scipy/numpy sequential baseline LAST, serial, on the now-idle
+        # host — overlapping it with any child contended the 2 cores and
+        # inflated the ratio 1.4-1.6x (measured), which is exactly the
+        # silent-denominator-drift the ratio must not have. Sample count
+        # scales with the remaining budget (~20 s per expert optimised);
+        # the raw denominator is reported for transparency.
+        n_ref = int(max(0, min(4, (remaining() + 25.0) // 22)))
+        if n_ref and result.get("value"):
+            X, z, Xs = make_workload(512, 400, 400, 3)
+            ref_rate = baseline_rate(X, z, Xs, n_sample=n_ref)
+            result["vs_baseline"] = round(result["value"] / ref_rate, 2)
+            result["unit"] += (f" [baseline {ref_rate:.3f} experts/s, "
+                               f"n={n_ref} scipy L-BFGS-B experts]")
+        else:
+            result.setdefault("vs_baseline", None)
+            result["unit"] = result.get("unit", "") + \
+                " [baseline skipped: time budget]"
         print(json.dumps(result))
         return
     result = run_mode(

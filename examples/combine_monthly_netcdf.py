@@ -47,7 +47,9 @@ CRS_ATTRS = {
 
 def parse_date_from_filename(path):
     """YYYY-MM-DD or YYYYMMDD anywhere in the basename -> datetime or None
-    (reference: combine_monthly_netcdf.py:57)."""
+    (reference: combine_monthly_netcdf.py:57). Reference-parity helper for
+    dating loose product files; the combiner flow itself derives dates from
+    the {run_string}_{YYYYMMDD}_{version} directory names."""
     base = os.path.basename(path)
     m = re.search(r"(\d{4})-(\d{2})-(\d{2})", base)
     if not m:
@@ -97,7 +99,10 @@ def _var2d(ds, names):
 
 def load_middle_day_sic(sic_dir, year, month):
     """SIC for the 15th of the month from {sic_dir}/{year}/*YYYYMM15*.nc,
-    flipped north-up (reference: combine_monthly_netcdf.py:152-191)."""
+    flipped north-up (reference: combine_monthly_netcdf.py:152-191). The
+    concentration-variable name list and flip convention are satdata's —
+    one CDR reader surface, not two."""
+    from gpsat_tpu.satdata import _CONC_NAMES
     base = os.path.join(sic_dir, str(year))
     if not os.path.isdir(base):
         base = sic_dir
@@ -109,8 +114,7 @@ def load_middle_day_sic(sic_dir, year, month):
     if not files:
         return None
     ds = read_netcdf(files[0])
-    conc = _var2d(ds, ("cdr_seaice_conc", "sea_ice_conc", "seaice_conc_cdr",
-                       "concentration", "sic"))
+    conc = _var2d(ds, _CONC_NAMES)
     return None if conc is None else conc[::-1]
 
 

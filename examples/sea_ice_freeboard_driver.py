@@ -148,20 +148,27 @@ def main(argv=None):
             from gpsat_tpu.satdata import load_smap_data_for_date
             assert args.secondary_smap_date, \
                 "--secondary-smap-dir needs --secondary-smap-date"
+            lo, hi = args.secondary_range
             smap = load_smap_data_for_date(
                 args.secondary_smap_date, args.secondary_smap_dir,
+                thickness_min=lo, thickness_max=hi,
                 coarsen_factor=max(1, args.secondary_coarsen))
             # SMAP rows are day-resolved; the synthetic domain's t axis is
             # days relative to the target day
             sec = pd.DataFrame({"x": smap["x"], "y": smap["y"], "t": 0.0,
                                 "z": smap["ice_thickness"]})
+            # the loader already applied grid-aware 2-d coarsening — the
+            # row-stride coarsening in fuse_secondary_obs must not re-apply
+            fuse_coarsen = 1
         elif args.secondary_csv:
             sec = pd.read_csv(args.secondary_csv)
+            fuse_coarsen = args.secondary_coarsen
         else:
             sec = synth_secondary_instrument()
+            fuse_coarsen = args.secondary_coarsen
         bin_df = fuse_secondary_obs(
             bin_df, sec, value_range=tuple(args.secondary_range),
-            coarsen_factor=args.secondary_coarsen,
+            coarsen_factor=fuse_coarsen,
             day_only=0.0 if args.secondary_day_only else None)
 
     eloc = pd.DataFrame(grid_2d_flatten([-1000 * KM, 1000 * KM],
