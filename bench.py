@@ -127,15 +127,24 @@ def _run_child(mode, timeout_s, measure_baseline=True):
             capture_output=True, text=True, timeout=timeout_s, env=env)
     except subprocess.TimeoutExpired:
         return {"error": f"timeout after {timeout_s:.0f}s"}
-    for line in reversed(proc.stdout.strip().splitlines()):
+    result = _last_json_dict(proc.stdout)
+    if result is not None:
+        return result
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[:200]}
+
+
+def _last_json_dict(text):
+    """Last stdout line that parses as a JSON OBJECT, or None — stray
+    scalar-parseable lines (a bare number, 'null') are not results."""
+    for line in reversed((text or "").strip().splitlines()):
         try:
             parsed = json.loads(line)
         except ValueError:
             continue
-        if isinstance(parsed, dict):    # stray scalar lines are not results
+        if isinstance(parsed, dict):
             return parsed
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
-    return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[:200]}
+    return None
 
 
 def main(model="all"):
