@@ -162,8 +162,15 @@ def main(model="all"):
     if model == "all":
         t0 = time.monotonic()
         remaining = lambda: _ALL_DEADLINE_S - (time.monotonic() - t0)
-        result = _run_child("gpr", timeout_s=max(60.0, remaining() - 30.0),
+        # the single-chip tunnel sporadically stalls for minutes (observed:
+        # a warm-cache child hung its full cap with ~10 s of CPU); a FRESH
+        # child process recovers, so the headline gets one capped attempt
+        # plus a retry with whatever budget remains
+        result = _run_child("gpr", timeout_s=min(280.0, remaining() - 30.0),
                             measure_baseline=False)
+        if "error" in result and remaining() > 90.0:
+            result = _run_child("gpr", timeout_s=remaining() - 30.0,
+                                measure_baseline=False)
         if "error" in result:
             # headline child died — report it honestly but still emit the line
             result = {"metric": "experts_optimized_per_s_per_chip",
