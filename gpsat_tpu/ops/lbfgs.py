@@ -199,20 +199,35 @@ def _make_step(batched_value_and_grad, B, P, dtype, max_iter,
         x = jnp.where(accept[:, None], x_try, x)
         f = jnp.where(accept, f_try, f)
         g = jnp.where(accept[:, None], g_try, g)
-        # warm-started trial scale with clean-accept gating (round-3
-        # trials/accept lever, measured via tpu_stuff/pool_iter_probe.py):
-        # `backed` marks a slot whose scale was halved since its last
-        # accepted step. A CLEAN accept (first-trial accept at the current
-        # scale) probes upward 2x — so a slot can never get stuck at
-        # sub-unit steps; recovery to t=1 is geometric. A BACKTRACKED
-        # accept keeps t unchanged: the halving just calibrated it at the
-        # acceptance boundary, and re-growing it (the old 4x-on-every-
-        # accept rule) immediately re-pays the halvings next iteration
-        # (steady-state 4 trials per 2 accepts; clean-gated 2x is 3 per 2).
-        t = jnp.where(done, t,
-                      jnp.where(accept & ~backed, jnp.minimum(1.0, t * 2.0),
-                                jnp.where(accept, t,
-                                          jnp.where(fail, 1.0, t * 0.5))))
+        # warm-started trial scale — PRECISION-DEPENDENT growth policy
+        # (python-level branch on the carry dtype: no new static args, the
+        # f32 program is unchanged).
+        #
+        # f32 (clean-accept gating; round-3 trials/accept lever, measured
+        # via tpu_stuff/pool_iter_probe.py): `backed` marks a slot whose
+        # scale was halved since its last accepted step. A CLEAN accept
+        # (first-trial accept) probes upward 2x; a BACKTRACKED accept keeps
+        # t — the halving just calibrated it at the f32-noise acceptance
+        # boundary, and re-growing (the old 4x-always rule) immediately
+        # re-pays the halvings (steady-state 4 trials per 2 accepts vs 3).
+        #
+        # f64 must NOT gate growth: with exact arithmetic the Armijo test
+        # is sharp, a grown trial is often rejected (setting `backed`), and
+        # gated t then stays pinned small — slots crawl through hundreds of
+        # real-but-tiny accepted steps that never trip ftol=1e-11
+        # (observed: seasonal-driver experts at 150-230 accepted
+        # iterations, 3-4x the r2 trajectories). Eager 4x-per-accept
+        # regrowth restores the r2 behaviour.
+        if jnp.dtype(dtype) == jnp.float32:
+            t = jnp.where(done, t,
+                          jnp.where(accept & ~backed,
+                                    jnp.minimum(1.0, t * 2.0),
+                                    jnp.where(accept, t,
+                                              jnp.where(fail, 1.0, t * 0.5))))
+        else:
+            t = jnp.where(done, t,
+                          jnp.where(accept, jnp.minimum(1.0, t * 4.0),
+                                    jnp.where(fail, 1.0, t * 0.5)))
         backed = jnp.where(done, backed,
                            jnp.where(accept | fail, False, True))
         done = done | newly_done

@@ -22,11 +22,13 @@ fixture (test_reference_golden, reference tolerances 1e-6 objective /
 1e-3 lengthscales), and masked==unpadded identities — this file then
 guards against *drift* from that externally-validated state.
 
-Round-3 regeneration: the clean-accept-gated trial-scale warm start
-(ops/lbfgs.py) moved f64 optimiser trajectories by ~1.4e-6 in preds (old
-golden failed at tol 1e-6 by that margin). Regenerated per the procedure
-above; scipy parity + the reference-produced fixture re-passed unchanged
-in the same change-set.
+Round-3 regenerations (both revalidated against scipy parity + the
+reference-produced fixture in the same change-sets):
+1. clean-accept-gated trial-scale warm start moved f64 trajectories by
+   ~1.4e-6 in preds (old golden failed at tol 1e-6 by that margin);
+2. the gating was then REVERTED for f64 only (eager 4x regrowth): in
+   exact arithmetic gated growth pins the trial scale small and slots
+   crawl through ~1.6x the accepted steps (ops/lbfgs.py body comment).
 """
 
 import json
