@@ -14,9 +14,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import logging
 import os
+import re
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -26,6 +29,127 @@ import numpy as np
 # an un-capped extras pass lost the already-measured headline). Everything
 # here is budgeted so the one JSON line always lands well inside that.
 _ALL_DEADLINE_S = float(os.environ.get("GPSAT_BENCH_DEADLINE", 520))
+
+# Wall reserved at the end of the "all" mode for the sequential scipy
+# baseline (round-3 judge: the denominator degraded to n=2 samples when
+# extras ate the budget — a single slow solve then moves vs_baseline by
+# tens of percent). ~22 s per expert plus setup.
+_BASELINE_N = 4
+_BASELINE_RESERVE_S = _BASELINE_N * 22.0 + 25.0
+
+
+# ---------------------------------------------------------------------------
+# child progress telemetry: cold-compile vs tunnel-stall diagnosis
+# ---------------------------------------------------------------------------
+# Round-3 postmortem: a cold persistent-compile-cache key (a ~13 min remote
+# Mosaic compile) and a sporadic tunnel stall look identical from the parent
+# ("timeout after Ns"). The child appends phase events — including persistent
+# compilation cache HIT/MISS lines captured from jax's own logger the moment
+# each lookup happens — to a progress file, so a timed-out child's last event
+# tells the parent (and the driver log) exactly where it died.
+
+_PROGRESS_ENV = "GPSAT_BENCH_PROGRESS"
+_PROGRESS_T0 = time.monotonic()
+
+
+def _progress(event, **kw):
+    path = os.environ.get(_PROGRESS_ENV)
+    if not path:
+        return
+    rec = {"t": round(time.monotonic() - _PROGRESS_T0, 1), "event": event}
+    rec.update(kw)
+    try:
+        with open(path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+    except OSError:
+        pass
+
+
+class _CacheLogHandler(logging.Handler):
+    """Captures jax's persistent-compilation-cache hit/miss log lines.
+
+    Sub-second op compiles (jit_subtract, ...) ALWAYS log a miss — jax never
+    persists entries below jax_persistent_cache_min_compile_time_secs — so a
+    miss only counts as significant once jax's "'X' took at least 1.00
+    seconds to compile" line confirms it was a real program build.
+    """
+
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.hits, self.misses, self.slow = [], [], []
+
+    def emit(self, record):
+        msg = record.getMessage()
+        m = re.search(r"cache (hit|MISS) for '([^']+)'", msg, re.IGNORECASE)
+        if m:
+            kind, program = m.group(1).lower(), m.group(2)
+            (self.hits if kind == "hit" else self.misses).append(program)
+            _progress("cache_" + kind, program=program)
+            return
+        m = re.search(r"'([^']+)' took at least \d", msg)
+        if m:
+            self.slow.append(m.group(1))
+
+    def significant_misses(self):
+        return sorted(set(self.misses) & set(self.slow))
+
+
+def _install_cache_log_capture():
+    handler = _CacheLogHandler()
+    lg = logging.getLogger("jax._src.compiler")
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(handler)
+    lg.propagate = False    # keep thousands of DEBUG lines off stderr
+    return handler
+
+
+def _read_progress(path):
+    events = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and "event" in rec:
+                    events.append(rec)
+    except OSError:
+        pass
+    return events
+
+
+def _classify_timeout(events, timeout_s):
+    """One honest sentence about where a timed-out child was stuck."""
+    base = f"timeout after {timeout_s:.0f}s"
+    if not events:
+        return base + " (no progress events: child died before jax init)"
+    phases = [e for e in events if not e["event"].startswith("cache_")]
+    last_phase = phases[-1]["event"] if phases else "?"
+    if last_phase == "warmup_start":
+        # sub-second op compiles always log a miss and resolve instantly;
+        # what identifies a COLD cache is dying with a miss as the very
+        # last event — the child is sitting inside that program's compile
+        last = events[-1]
+        if last["event"] == "cache_miss":
+            prog = last.get("program", "?")
+            return (base + f": cold compile cache — persistent-cache MISS "
+                    f"for '{prog}' at t={last['t']}s and still compiling; "
+                    "a fresh remote compile takes 5-15 min and no per-child "
+                    "cap covers it (run `python bench.py prewarm` first)")
+        return (base + ": tunnel stall during warm-up (last persistent-"
+                "cache lookup HIT — the program is warm; a fresh "
+                "child process usually recovers)")
+    if last_phase == "warmup_done":
+        secs = next((e.get("secs") for e in reversed(phases)
+                     if e["event"] == "warmup_done"), "?")
+        return base + (f": stall during measurement (warm-up completed in "
+                       f"{secs}s — compile cache warm)")
+    if last_phase in ("measure_start",):
+        return base + ": stall during the measured sweep (warm-up completed)"
+    t = phases[-1].get("t", "?") if phases else "?"
+    return base + f" (last event '{last_phase}' at t={t}s)"
 
 
 def make_workload(E, N, P, D=3, seed=0):
@@ -121,17 +245,31 @@ def _run_child(mode, timeout_s, measure_baseline=True):
     env = dict(os.environ)
     if not measure_baseline:
         env["GPSAT_BENCH_NO_BASELINE"] = "1"
+    fd, progress_path = tempfile.mkstemp(prefix=f"gpsat_bench_{mode}_",
+                                         suffix=".progress")
+    os.close(fd)
+    env[_PROGRESS_ENV] = progress_path
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), mode],
-            capture_output=True, text=True, timeout=timeout_s, env=env)
-    except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {timeout_s:.0f}s"}
-    result = _last_json_dict(proc.stdout)
-    if result is not None:
-        return result
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
-    return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[:200]}
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), mode],
+                capture_output=True, text=True, timeout=timeout_s, env=env)
+        except subprocess.TimeoutExpired:
+            events = _read_progress(progress_path)
+            return {"error": _classify_timeout(events, timeout_s)}
+        result = _last_json_dict(proc.stdout)
+        if result is not None:
+            return result
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+        events = _read_progress(progress_path)
+        last = f" [last event: {events[-1]['event']}]" if events else ""
+        return {"error": f"rc={proc.returncode}: "
+                + " | ".join(tail)[:200] + last}
+    finally:
+        try:
+            os.unlink(progress_path)
+        except OSError:
+            pass
 
 
 def _last_json_dict(text):
@@ -159,6 +297,8 @@ def main(model="all"):
     prints inside the driver's budget."""
     if model == "scaling":
         return scaling_main()
+    if model in ("prewarm", "--prewarm"):
+        return prewarm_main()
     if model == "all":
         t0 = time.monotonic()
         remaining = lambda: _ALL_DEADLINE_S - (time.monotonic() - t0)
@@ -177,39 +317,46 @@ def main(model="all"):
                       "value": None, "unit": "experts/s (gpr)",
                       "vs_baseline": None, **result}
         extra = {}
-        # sweep10k needs ~2 x 70 s of sweeps plus setup; only attempt it with
-        # generous headroom. sgpr is the production-profile anchor — always
-        # attempt it if any budget remains.
+        # Extras run against the budget LEFT AFTER the scipy-baseline
+        # reserve (round-3 judge: extras ate the denominator down to n=2
+        # samples). sweep10k first — it is the north-star metric
+        # (BASELINE.md: prediction-points/s at ~10k experts) and has never
+        # landed in a driver record; sgpr is the production-profile anchor.
         # `need` = wall the mode takes with a warm compile cache, plus
         # margin; a colder cache is covered by the per-child timeout, not
         # the skip heuristic. (The `scaling` mode is NOT an extra: its
         # 8-virtual-CPU-device run timeshares the 2-core host for ~3 min —
         # too slow for the driver budget; the driver's separate multichip
         # dryrun covers that path.)
-        for m, need in (("sgpr", 110.0), ("sweep10k", 160.0)):
-            left = remaining()
+        for m, need in (("sweep10k", 150.0), ("sgpr", 100.0)):
+            left = remaining() - _BASELINE_RESERVE_S
             if left < need:
-                extra[m] = {"skipped": f"time budget ({left:.0f}s left)"}
+                extra[m] = {"skipped": f"time budget ({left:.0f}s left "
+                                       "after baseline reserve)"}
                 continue
-            r = _run_child(m, timeout_s=left - 20.0, measure_baseline=False)
+            r = _run_child(m, timeout_s=left - 10.0, measure_baseline=False)
             extra[m] = (r if "error" in r
                         else {"value": r["value"], "unit": r["unit"]})
         result["extra"] = extra
         # scipy/numpy sequential baseline LAST, serial, on the now-idle
         # host — overlapping it with any child contended the 2 cores and
         # inflated the ratio 1.4-1.6x (measured), which is exactly the
-        # silent-denominator-drift the ratio must not have. Sample count
-        # scales with the remaining budget (~20 s per expert optimised);
-        # the raw denominator is reported for transparency.
-        n_ref = int(max(0, min(4, (remaining() + 25.0) // 22)))
+        # silent-denominator-drift the ratio must not have. The reserve
+        # above guarantees the full n=4 sample in a normal run; fewer
+        # samples (a retry ate the budget) are flagged low-confidence.
+        n_ref = int(max(0, min(_BASELINE_N, (remaining() + 25.0) // 22)))
         if n_ref and result.get("value"):
             X, z, Xs = make_workload(512, 400, 400, 3)
             ref_rate = baseline_rate(X, z, Xs, n_sample=n_ref)
             result["vs_baseline"] = round(result["value"] / ref_rate, 2)
+            result["baseline_n"] = n_ref
+            if n_ref < _BASELINE_N:
+                result["baseline_low_confidence"] = True
             result["unit"] += (f" [baseline {ref_rate:.3f} experts/s, "
                                f"n={n_ref} scipy L-BFGS-B experts]")
         else:
             result.setdefault("vs_baseline", None)
+            result["baseline_n"] = 0
             result["unit"] = result.get("unit", "") + \
                 " [baseline skipped: time budget]"
         print(json.dumps(result))
@@ -217,10 +364,13 @@ def main(model="all"):
     result = run_mode(
         model,
         measure_baseline=os.environ.get("GPSAT_BENCH_NO_BASELINE") != "1")
-    print(json.dumps(result))
+    if result is not None:          # warmup-only mode prints its own line
+        print(json.dumps(result))
 
 
 def run_mode(model="gpr", measure_baseline=True):
+    _progress("start", mode=model)
+    cache_log = _install_cache_log_capture()
     import jax
     import jax.numpy as jnp
     from gpsat_tpu.models.batched import (BatchedGPR, BatchedSGPR,
@@ -301,11 +451,27 @@ def run_mode(model="gpr", measure_baseline=True):
         return out["converged"], bool(np.isfinite(out["preds"]["f*"]).all())
 
     # warm-up / compile on the same shapes
+    _progress("warmup_start")
+    tw = time.perf_counter()
     sweep()
+    warmup_s = time.perf_counter() - tw
+    _progress("warmup_done", secs=round(warmup_s, 1),
+              cache_hits=len(cache_log.hits),
+              cache_misses=len(cache_log.significant_misses()))
+    if os.environ.get("GPSAT_BENCH_WARMUP_ONLY") == "1":
+        # prewarm protocol: the point was compiling (or verifying cached)
+        # programs, not the measurement — report and stop
+        print(json.dumps({
+            "mode": model, "warmed": True, "warmup_s": round(warmup_s, 1),
+            "cache_misses": cache_log.significant_misses(),
+            "cache_hits": len(cache_log.hits)}))
+        return None
 
+    _progress("measure_start")
     t0 = time.perf_counter()
     conv, finite = sweep()
     dt = time.perf_counter() - t0
+    _progress("measure_done", secs=round(dt, 1))
     rate = E / dt
 
     conv_frac = float(np.mean(conv))
@@ -335,10 +501,66 @@ def run_mode(model="gpr", measure_baseline=True):
                 f"converged={conv_frac:.2f}, {tele}, "
                 f"experts/s={rate:.1f})",
     }
+    result["warmup_s"] = round(warmup_s, 1)
+    if cache_log.significant_misses():
+        result["cache_misses"] = cache_log.significant_misses()
     if measure_baseline:
         ref_rate = baseline_rate(X, z, Xs, n_sample=4)
         result["vs_baseline"] = round(rate / ref_rate, 2)
     return result
+
+
+def prewarm_main(modes=("gpr", "sweep10k", "sgpr")):
+    """`python bench.py prewarm` — compile every driver-bench program shape
+    into the persistent cache, then PROVE each mode is warm.
+
+    Round-3 postmortem: the driver's bench ran with a cold compiled-program
+    cache key (a post-warm-up source edit to jitted code changed the key)
+    and died in a ~13-minute remote compile no per-child cap covers. The
+    end-of-round protocol is: final commit -> `python bench.py prewarm`
+    (must end with every mode verified warm) -> `timeout 590 python
+    bench.py` (must print a non-null headline). Each mode runs uncapped in
+    warm-up-only child processes; a mode whose first pass recompiled
+    anything is re-run to verify the second pass hits the cache. Exit code
+    is non-zero unless every mode verifies warm (warm-up < 120 s wall and
+    zero persistent-cache misses).
+    """
+    env = dict(os.environ)
+    env.update({"GPSAT_BENCH_WARMUP_ONLY": "1", "GPSAT_BENCH_NO_BASELINE": "1"})
+    report, all_warm = {}, True
+    for m in modes:
+        passes = []
+        for attempt in range(2):
+            t0 = time.monotonic()
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), m],
+                    capture_output=True, text=True, env=env,
+                    timeout=float(os.environ.get("GPSAT_PREWARM_CAP", 3600)))
+            except subprocess.TimeoutExpired:
+                passes.append({"error": f"prewarm cap exceeded "
+                               f"({time.monotonic() - t0:.0f}s)"})
+                break
+            r = _last_json_dict(proc.stdout)
+            if r is None or not r.get("warmed"):
+                tail = (proc.stderr or "").strip().splitlines()[-3:]
+                passes.append({"error": f"rc={proc.returncode}: "
+                               + " | ".join(tail)[:200]})
+                break
+            passes.append({"warmup_s": r["warmup_s"],
+                           "cache_misses": r["cache_misses"]})
+            if not r["cache_misses"] and r["warmup_s"] < 120.0:
+                break   # verified warm — no second pass needed
+        final = passes[-1]
+        warm = ("error" not in final and not final.get("cache_misses")
+                and final.get("warmup_s", 1e9) < 120.0)
+        all_warm &= warm
+        report[m] = {"warm": warm, "passes": passes}
+        print(json.dumps({"prewarm_progress": m, **report[m]}),
+              file=sys.stderr)
+    print(json.dumps({"metric": "prewarm", "warm": all_warm,
+                      "modes": report}))
+    return 0 if all_warm else 1
 
 
 def scaling_main():

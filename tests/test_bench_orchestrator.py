@@ -33,3 +33,66 @@ def test_baseline_rate_runs_scipy_path():
     X, z, Xs = bench.make_workload(2, 48, 8, 3)
     rate = bench.baseline_rate(X, z, Xs, n_sample=1)
     assert np.isfinite(rate) and rate > 0
+
+
+def test_classify_timeout_cold_compile_vs_stall():
+    # cold cache: a MISS logged during warm-up names the program and the fix
+    cold = [{"t": 0.1, "event": "start", "mode": "gpr"},
+            {"t": 8.0, "event": "warmup_start"},
+            {"t": 9.2, "event": "cache_miss", "program": "_lbfgs_pool_jit"}]
+    msg = bench._classify_timeout(cold, 280)
+    assert "cold compile cache" in msg and "_lbfgs_pool_jit" in msg \
+        and "prewarm" in msg
+    # stall: every lookup hit, still stuck in warm-up => tunnel stall
+    stall = [{"t": 0.1, "event": "start", "mode": "gpr"},
+             {"t": 8.0, "event": "warmup_start"},
+             {"t": 9.0, "event": "cache_hit", "program": "_lbfgs_pool_jit"}]
+    msg = bench._classify_timeout(stall, 280)
+    assert "tunnel stall" in msg and "cold" not in msg
+    # stall after a completed warm-up => measurement stall, cache warm
+    meas = stall + [{"t": 60.0, "event": "warmup_done", "secs": 52.0},
+                    {"t": 61.0, "event": "measure_start"}]
+    assert "measured sweep" in bench._classify_timeout(meas, 280)
+    # no events at all
+    assert "before jax init" in bench._classify_timeout([], 280)
+
+
+def test_progress_file_roundtrip(tmp_path, monkeypatch):
+    path = tmp_path / "p.progress"
+    monkeypatch.setenv(bench._PROGRESS_ENV, str(path))
+    bench._progress("start", mode="gpr")
+    bench._progress("cache_miss", program="jit_foo")
+    events = bench._read_progress(str(path))
+    assert [e["event"] for e in events] == ["start", "cache_miss"]
+    assert events[1]["program"] == "jit_foo"
+    # corrupt lines are skipped, not fatal
+    with open(path, "a") as fh:
+        fh.write("not json\n")
+    assert len(bench._read_progress(str(path))) == 2
+
+
+def test_cache_log_handler_parses_jax_messages(tmp_path, monkeypatch):
+    import logging
+    path = tmp_path / "p.progress"
+    monkeypatch.setenv(bench._PROGRESS_ENV, str(path))
+    h = bench._CacheLogHandler()
+    # the exact formats jax._src.compiler emits (hit lower-case, MISS caps)
+    rec = logging.LogRecord("jax._src.compiler", logging.DEBUG, "", 0,
+                            "Persistent compilation cache hit for '%s' with "
+                            "key %r", ("jit_sweep", "abc"), None)
+    h.emit(rec)
+    rec = logging.LogRecord("jax._src.compiler", logging.DEBUG, "", 0,
+                            "PERSISTENT COMPILATION CACHE MISS for '%s' with "
+                            "key %r", ("jit__lbfgs_pool_jit", "def"), None)
+    h.emit(rec)
+    assert h.hits == ["jit_sweep"] and h.misses == ["jit__lbfgs_pool_jit"]
+    events = bench._read_progress(str(path))
+    assert [e["event"] for e in events] == ["cache_hit", "cache_miss"]
+    # a miss is only significant once jax confirms a >=1s compile — tiny op
+    # compiles (never persisted) must not flag a warm cache as cold
+    assert h.significant_misses() == []
+    rec = logging.LogRecord("jax._src.compiler", logging.DEBUG, "", 0,
+                            "'%s' took at least 1.00 seconds to compile "
+                            "(%.2fs)", ("jit__lbfgs_pool_jit", 780.0), None)
+    h.emit(rec)
+    assert h.significant_misses() == ["jit__lbfgs_pool_jit"]
