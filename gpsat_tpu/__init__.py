@@ -42,6 +42,13 @@ if _cache_dir and _cache_dir != "0":
     except Exception:
         pass
 
+# Strip source-location debuginfo from serialized Mosaic kernel payloads so
+# comment/line-shift edits cannot cold-start the persistent compile cache
+# (round-3 postmortem; see _cachefix.py and tpu_stuff/cache_key_probe.py).
+from . import _cachefix  # noqa: E402
+
+_cachefix.install()
+
 __version__ = "0.1.0"
 
 _PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
