@@ -104,6 +104,7 @@ class BatchedGPR:
 
     HYPER_NAMES = ("lengthscales", "kernel_variance", "likelihood_variance")
     model_name = "GPRModel"
+    linesearch_kind = "gpr"     # ops/lbfgs.linesearch_policy family
 
     def __init__(self, coords_dim, kernel="Matern32", kernel_kwargs=None,
                  noise_variance=None, likelihood_variance=None,
@@ -398,6 +399,24 @@ class BatchedGPR:
         bijectors in the objective args (e.g. SGPR inducing points)."""
         return ()
 
+    def _fill_chunk_width(self, E, X, Xs, B_pool, do_predict):
+        """Chunk width for the post-pool prediction/param-fill loop.
+
+        Default: the pool slot width (the XLA prediction path holds [B,N,N]
+        HBM temporaries). When the fused Pallas GPR prediction kernel is
+        active its VMEM grid removes that constraint — one whole-sweep call
+        replaces ~E/B dispatches (the fill phase is dispatch-bound, not
+        compute-bound). Canonical power-of-two widths so one program shape
+        covers every E (a data-dependent min(E, 1024) costs a 5-10 min
+        remote compile per distinct sweep size)."""
+        if do_predict and type(self) is BatchedGPR:
+            from gpsat_tpu.ops.pallas_gpr import pallas_predict_supported
+            from gpsat_tpu.parallel.scheduler import bucket_level
+            if pallas_predict_supported(self.kernel, self.d, X.shape[1],
+                                        np.asarray(Xs).shape[1]):
+                return min(1024, bucket_level(E))
+        return B_pool
+
     def _pool_select_chunk(self, ids):
         """Point per-expert engine state at rows `ids` before _call_program
         in the prediction-fill loop (default: stateless)."""
@@ -426,7 +445,7 @@ class BatchedGPR:
             lambda a: np.broadcast_to(np.asarray(a, dtype=self.dtype),
                                       (E,) + np.asarray(a).shape), bij)
         objective, vg_fun = self._pool_objective(N=X.shape[1])
-        mls, rec = linesearch_policy(self.dtype)
+        mls, rec = linesearch_policy(self.dtype, self.linesearch_kind)
         res = batched_lbfgs_pool(
             objective, u0,
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
@@ -526,17 +545,7 @@ class BatchedGPR:
                       self.HYPER_NAMES}
         preds_out = None
         do_predict = predict and Xs is not None
-        B_fill = B
-        if do_predict and type(self) is BatchedGPR:
-            from gpsat_tpu.ops.pallas_gpr import pallas_predict_supported
-            from gpsat_tpu.parallel.scheduler import bucket_level
-            if pallas_predict_supported(self.kernel, self.d, X.shape[1],
-                                        np.asarray(Xs).shape[1]):
-                # canonical power-of-two chunk width so one program shape
-                # covers every E (a data-dependent min(E, 1024) costs a 5-10
-                # min remote compile per distinct sweep size)
-                B_fill = min(1024, bucket_level(E))
-        B = B_fill
+        B = self._fill_chunk_width(E, X, Xs, B, do_predict)
         if mesh is not None and B >= n_sh:
             B = B - B % n_sh
         # shard fill chunks over the mesh so the prediction/fill programs
@@ -703,7 +712,7 @@ def _sgpr_fit_predict(u0, X, y, mask, Z, zmask, Xs, bijectors, fixed, *,
         vg_fun = make_sgpr_vg_fun(kernel, free_names, d, jitter) \
             if (not train_z and pallas_sgpr_vg_supported(
                 kernel, d, X.shape[1], M)) else None
-        mls, rec = linesearch_policy(X.dtype)
+        mls, rec = linesearch_policy(X.dtype, "sgpr")
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, Z, zmask, bijectors, fixed),
             max_iter, gtol, ftol, 10, mls, "custom", vg_fun=vg_fun,
@@ -768,6 +777,7 @@ class BatchedSGPR(BatchedGPR):
 
     model_name = "SGPRModel"
     objective_sign = -1.0   # stored objective = -neg_elbo = elbo
+    linesearch_kind = "sgpr"
 
     def __init__(self, coords_dim, num_inducing_points=500, inducing_seed=42,
                  jitter=None, **kwargs):
@@ -917,6 +927,25 @@ class BatchedSGPR(BatchedGPR):
             self._Z_all * self._zmask_all[:, :, None]
         out["inducing_mask"] = self._zmask_all
         return out
+
+    def _fill_chunk_width(self, E, X, Xs, B_pool, do_predict):
+        """Hybrid SGPR prediction has no [B,N,N] temporaries — its dominant
+        buffers are [B, M_pad, N] (Kuf/At and their r2 builds), so the fill
+        can run far wider chunks than the pool (fewer cholinv grid
+        dispatches + pipeline bubbles; predict is the cholinv passes, see
+        sgpr_predict_batched). Width = canonical bucket of E capped by a
+        ~2 GB live-buffer budget, floored to a multiple of 16 so slot
+        batches tile the cholinv kernel's expert groups exactly."""
+        from gpsat_tpu.ops.pallas_sgpr import pallas_sgpr_vg_supported
+        if not (do_predict and type(self) is BatchedSGPR
+                and pallas_sgpr_vg_supported(self.kernel, self.d,
+                                             X.shape[1], self.num_inducing)):
+            return B_pool
+        from gpsat_tpu.parallel.scheduler import bucket_level
+        M_pad = -(-self.num_inducing // 128) * 128
+        cap = max(16, 2**27 // max(M_pad * X.shape[1], 1))
+        B = min(bucket_level(E), cap - cap % 16)
+        return max(B, B_pool)
 
 
 # ---------------------------------------------------------------------------

@@ -23,21 +23,36 @@ import optax
 __all__ = ["batched_lbfgs", "LBFGSResult", "linesearch_policy"]
 
 
-def linesearch_policy(dtype):
-    """(max_linesearch_steps, recovery_steps) by working precision.
+def linesearch_policy(dtype, kind="gpr"):
+    """(max_linesearch_steps, recovery_steps) by working precision and
+    objective family.
 
     f32 (the TPU production dtype): the objective's noise floor is
     ~1e-4 relative, so deep backtracking chains grind noise — don't probe
     scales below 2^-8 (measured on the bench sweep: <2% of accepted steps
-    used t < 2^-8, each costing 8+ rejected evals), and give the post-fail
-    steepest-descent recovery only a 4-halving chain (it recovered 2.5% of
-    accepts on the bench but is essential on small/multimodal experts,
-    where ending on the first exhausted chain measurably lost ~2-3% of
-    objective — tpu_stuff/linesearch_stats.py). f64: the conservative
-    scipy-style policy (full 12-step chains for both).
+    used t < 2^-8, each costing 8+ rejected evals).
+
+    The post-fail steepest-descent recovery chain is per-family:
+
+    - "gpr" (exact NLML): a 4-halving recovery. It recovered only 2.5% of
+      accepts on the bench but is essential on small/multimodal experts,
+      where ending on the first exhausted chain measurably lost ~2-3% of
+      objective (tpu_stuff/linesearch_stats.py).
+    - "sgpr" (collapsed ELBO): NO recovery halvings (one free
+      steepest-descent trial post-reset, then done). Measured at the
+      production profile N=2000/M=500 AND small-expert N=200/M=64 across
+      seeds (tpu_stuff/sgpr_linesearch_stats.py): the recovery chain
+      recovered 0 accepts and the final objective is bit-identical with it
+      removed, while trials/accept drops 2.11 -> 1.82 (prod) and
+      1.69 -> 1.53 (small) — the SGPR endgame was pure noise-grinding.
+
+    f64: the conservative scipy-style policy (full 12-step chains) for
+    every family — f64 Armijo is sharp, chains rarely exhaust, and the f32
+    endgame pathology does not exist (see also the f64 eager-regrowth
+    branch in _make_step).
     """
     if jnp.dtype(dtype) == jnp.float32:
-        return 8, 4
+        return (8, 0) if kind == "sgpr" else (8, 4)
     return 12, 12
 
 

@@ -14,7 +14,10 @@ emitting:
 (U itself is not emitted: no consumer needs it — A-quadratic forms use A
 directly — and dropping its output window buys the VMEM to double the
 experts-per-grid-step, halving the kernel's dominant cost: the number of
-sequential column-loop passes, one per grid step.)
+sequential column-loop passes, one per grid step. Round 4 bought another
+doubling the same way: W is accumulated directly in the OUTPUT window —
+readable VMEM during a grid step — so the scratch keeps only A->U plus a
+T-wide diag-block strip, [M, M+T] instead of [M, 2M].)
 
 Everything *around* the factorisation (kernel-matrix builds, A~ = W^T Kuf,
 B = I + A~A~^T/s2, gradient contractions) is plain batched matmuls that XLA
@@ -61,44 +64,55 @@ def cholinv_supported(M=None):
 
 
 def _group_size(M):
-    # per expert: [M, 2M] scratch + double-buffered in/out windows
-    # (A in + W out, 2 buffering levels each) = 6 * M^2 * 4 bytes
-    per = 6 * M * M * 4
+    # per expert: [M, M+T] scratch (A->U | diag-block strip) + double-
+    # buffered in/out windows (A in + W out, 2 buffering levels each)
+    # = (5*M^2 + T*M) * 4 bytes. W lives in the OUTPUT window (read back
+    # by the off-diagonal recurrence), which freed M-T scratch lanes per
+    # row and doubled experts-per-grid-step at M=512 (8 -> 16): the
+    # kernel's dominant cost is the number of sequential column-loop
+    # passes, one per grid step.
+    per = (5 * M * M + _T * M) * 4
     bt = int(_CHOLINV_VMEM_BUDGET // per) // 8 * 8
     return int(min(max(8, bt), 24))
 
 
 def _cholinv_kernel(a_in_ref, w_ref, ld_ref, a_ref, *, M):
     """One grid step: Bt experts. a_in_ref [Bt,M,M] masked SPD input;
-    w_ref [Bt,M,M]; ld_ref [Bt,128] (lane 0 = sum log diag U);
-    a_ref [Bt,M,2M] scratch (A->U | W)."""
+    w_ref [Bt,M,M] output, used as working storage for W (output windows
+    are plain VMEM during a grid step); ld_ref [Bt,128] (lane 0 = sum log
+    diag U); a_ref [Bt,M,M+T] scratch (A->U | per-panel W diag strip —
+    _factor_tile_and_invert writes W_kk at rows [kb*T,(kb+1)*T) of the
+    trailing T lanes, a distinct row range per panel, so the strip never
+    needs re-zeroing)."""
     f32 = jnp.float32
     Bt = a_ref.shape[0]
     mb = M // _T
-    woff = M
+    woff = M                      # strip offset (trailing T scratch lanes)
     dot = functools.partial(jax.lax.dot_general,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=f32)
     bmm = (((2,), (1,)), ((0,), (0,)))
     bmm_t = (((1,), (1,)), ((0,), (0,)))
-    lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
 
-    # copy input, zero the W region (masked recurrences read it: 0 * NaN)
+    # copy input; zero the strip and the W output (masked recurrences and
+    # the final product must read zeros, not uninitialised NaNs)
     dep = jnp.zeros((Bt, 1, 1), f32)
     for rb in range(mb):
         r0 = rb * _T
         tile = a_in_ref[:, r0:r0 + _T, :] + jnp.zeros((Bt, _T, M), f32) \
             + (dep + jnp.zeros((Bt, 1, M), f32))
         a_ref[:, r0:r0 + _T, 0:M] = tile
-        a_ref[:, r0:r0 + _T, woff:] = jnp.zeros((Bt, _T, M), f32)
+        a_ref[:, r0:r0 + _T, woff:] = jnp.zeros((Bt, _T, _T), f32)
+        w_ref[:, r0:r0 + _T, :] = jnp.zeros((Bt, _T, M), f32)
         dep = tile[:, :1, :1] * f32(0.0)
 
     ld = jnp.zeros((Bt, 1, 1), f32)
     for kb in range(mb):
         base = kb * _T
-        ld = _factor_tile_and_invert(a_ref, base, woff + base, ld, Bt)
+        ld = _factor_tile_and_invert(a_ref, base, woff, ld, Bt, rbase=base)
+        wkk = a_ref[:, base:base + _T, woff:woff + _T]
+        w_ref[:, base:base + _T, base:base + _T] = wkk
         if base + _T < M:
-            wkk = a_ref[:, base:base + _T, woff + base:woff + base + _T]
             arest = a_ref[:, base:base + _T, base + _T:M]
             a_ref[:, base:base + _T, base + _T:M] = \
                 dot(wkk, arest, dimension_numbers=bmm_t)
@@ -110,26 +124,22 @@ def _cholinv_kernel(a_in_ref, w_ref, ld_ref, a_ref, *, M):
                 a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] - g)
 
     # W off-diagonal blocks: W_ij = -W_ii sum_{i<k<=j} U_ik W_kj
+    # (U from scratch, W blocks read/written in the output window)
     dep_w = jnp.zeros((Bt, 1, 1), f32)
     for jb in range(mb):
-        wj = woff + jb * _T
+        wj = jb * _T
         for i in range(jb - 1, -1, -1):
             acc = jnp.zeros((Bt, _T, _T), f32) \
                 + (dep_w + jnp.zeros((Bt, 1, _T), f32))
             for k2 in range(i + 1, jb + 1):
                 u_ik = a_ref[:, i * _T:(i + 1) * _T,
                              k2 * _T:(k2 + 1) * _T]
-                w_kj = a_ref[:, k2 * _T:(k2 + 1) * _T, wj:wj + _T]
+                w_kj = w_ref[:, k2 * _T:(k2 + 1) * _T, wj:wj + _T]
                 acc = acc + dot(u_ik, w_kj, dimension_numbers=bmm)
-            w_ii = a_ref[:, i * _T:(i + 1) * _T,
-                         woff + i * _T:woff + (i + 1) * _T]
+            w_ii = w_ref[:, i * _T:(i + 1) * _T, i * _T:(i + 1) * _T]
             wij = -dot(w_ii, acc, dimension_numbers=bmm)
-            a_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = wij
+            w_ref[:, i * _T:(i + 1) * _T, wj:wj + _T] = wij
             dep_w = wij[:, :1, :1] * f32(0.0)
-
-    for rb in range(mb):
-        r0 = rb * _T
-        w_ref[:, r0:r0 + _T, :] = a_ref[:, r0:r0 + _T, woff:]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _T), 1)
     ld_ref[:] = jnp.where(lane1 == 0, ld[:, 0, :], f32(0.0))
@@ -156,7 +166,7 @@ def _cholinv_call(A, *, interpret=False):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((bt, _T), lambda i: (i, z),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((bt, M, 2 * M), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, M, M + _T), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(A)

@@ -352,12 +352,20 @@ def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
     # failed experts and refactor once (the standard GPflow/GPyTorch
     # escalating-jitter recovery, batched)
     bad = ~jnp.isfinite(ld_u)
-    extra = jnp.where(bad, f32(1e-4) * sf2 + f32(100.0) * f32(jitter),
-                      0.0)
-    Kuu2 = Kuu + eyeM * (zm * extra[:, None])[:, :, None]
-    W2, _ = cholinv_batched(Kuu2, interpret=interpret)
-    sel = bad[:, None, None]
-    W_u = jnp.where(sel, W2, W_u)
+
+    # The retry factorisation is wrapped in lax.cond: in the common case
+    # (every expert factorises cleanly) the whole sweep skips it, cutting
+    # the prediction program from 3 sequential cholinv passes to 2 — the
+    # passes ARE the prediction cost (each grid step is a latency-bound
+    # [bt, M, M] factorise+invert; FLOPs elsewhere are negligible).
+    def _refactor(_):
+        extra = jnp.where(bad, f32(1e-4) * sf2 + f32(100.0) * f32(jitter),
+                          0.0)
+        Kuu2 = Kuu + eyeM * (zm * extra[:, None])[:, :, None]
+        W2, _ = cholinv_batched(Kuu2, interpret=interpret)
+        return jnp.where(bad[:, None, None], W2, W_u)
+
+    W_u = jax.lax.cond(jnp.any(bad), _refactor, lambda _: W_u, None)
     Kuf = sf2c * _phi(kernel, r2_of(Zs, Xn), f32) \
         * (zm[:, :, None] * m[:, None, :])
     At = jnp.einsum("bkm,bkn->bmn", W_u, Kuf, precision=hp)

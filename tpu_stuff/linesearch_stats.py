@@ -75,6 +75,16 @@ def main(E=64, N=400, D=3, max_its=600):
     step = body                         # EAGER: lets vg_rec record f_try
     carry = _to_np(lb._init_carry(vg, u0, engine.gtol, 10))
 
+    carry, stats, tot = drive_and_report(
+        step, carry, engine.gtol, engine.max_iter, ftry_log,
+        max_its=max_its, E=E)
+
+
+def drive_and_report(step, carry, gtol, max_iter, ftry_log,
+                     max_its=600, E=None):
+    """Drive the eager step body, classify every slot-iteration,
+    print the report. Shared by the GPR and SGPR probes."""
+    E = E if E is not None else len(carry[2])
     stats = dict(accept=0, rej_nohist=0, rej_hist=0, fail=0, idle=0)
     t_at_accept = []
     per_iter = []
@@ -102,19 +112,23 @@ def main(E=64, N=400, D=3, max_its=600):
                          int(live.sum())))
         f_try = ftry_log[-1]
         f_before = carry[2]
-        rd = np.abs(f_try - f_before) / np.maximum(np.abs(f_before), 1.0)
+        with np.errstate(invalid="ignore"):
+            rd = np.abs(f_try - f_before) / np.maximum(np.abs(f_before), 1.0)
+        rd = np.where(np.isfinite(f_try) & np.isfinite(f_before), rd, np.nan)
         for s in np.where(rej)[0]:
-            rej_deltas.append((int(tail[s]), float(rd[s])))
+            if np.isfinite(rd[s]):
+                rej_deltas.append((int(tail[s]), float(rd[s])))
         for s in np.where(fail)[0]:
-            rej_deltas.append((int(tail[s]), float(rd[s])))
+            if np.isfinite(rd[s]):
+                rej_deltas.append((int(tail[s]), float(rd[s])))
             fail_gradratio.append(float(np.abs(carry[3][s]).max()))
         post_fail_accepts += int((accept & (carry[10] >= 1)).sum())
         tail[live & ~accept] += 1
         newly = new[8] & ~done_prev
         if newly.any():
-            gs = np.abs(new[3][newly]).max(axis=-1) < engine.gtol
+            gs = np.abs(new[3][newly]).max(axis=-1) < gtol
             hf = (new[10][newly] >= 2) & ~accept[newly]
-            cap = new[9][newly] >= engine.max_iter
+            cap = new[9][newly] >= max_iter
             conv_kind["grad"] += int(gs.sum())
             conv_kind["hard_fail"] += int((hf & ~gs).sum())
             conv_kind["cap"] += int((cap & ~gs & ~hf).sum())
@@ -167,6 +181,9 @@ def main(E=64, N=400, D=3, max_its=600):
             print(f"rejected |df|/|f| at {lbl:8s}: n={len(ds):5d} "
                   + " ".join(f"p{q}={np.percentile(ds, q):.2e}"
                              for q in (10, 50, 90)))
+
+
+    return carry, stats, tot_trials
 
 
 def _to_np(c):
