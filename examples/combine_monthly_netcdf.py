@@ -207,6 +207,128 @@ def combine_monthly_netcdf(data_dir, run_string="run_30days_smap",
     return combined
 
 
+# panel spec per variable: (title, colorbar label, vmin, vmax, cmap)
+_BROWSE_PANELS = (
+    ("sea_ice_conc", "sea ice concentration", "concentration", 0.0, 1.0,
+     "Blues_r"),
+    ("ice_thickness", "sea ice thickness", "ice thickness (m)", 0.0, 4.0,
+     "viridis"),
+    ("ice_thickness_unc", "thickness uncertainty", "uncertainty (m)", 0.0,
+     1.0, "magma"),
+)
+
+
+def _masked2d(combined, name, ti, fill_value):
+    if name not in combined:
+        return None
+    v = combined[name].values
+    arr = np.asarray(v[ti] if v.ndim == 3 else v, dtype=float)
+    return np.ma.masked_where(~np.isfinite(arr) | (arr == fill_value), arr)
+
+
+def plot_browse_month(combined, time_idx, save_path, fill_value=-999.0):
+    """V4-style per-month browse image: up to 3 panels (concentration,
+    thickness, uncertainty) drawn on the product's own polar-stereographic
+    x/y grid (reference: combine_monthly_netcdf.py:358 plot_browse_month_v1;
+    the data are already projected, so no cartopy is needed)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(combined["x"].values).reshape(-1)
+    y = np.asarray(combined["y"].values).reshape(-1)
+    t = combined.coords["time"][time_idx]
+    mon = np.datetime_as_string(np.asarray(t, dtype="datetime64[M]"))
+
+    panels = [(p, _masked2d(combined, p[0], time_idx, fill_value))
+              for p in _BROWSE_PANELS]
+    panels = [(p, a) for p, a in panels if a is not None]
+    if not panels:
+        return False
+    fig, axs = plt.subplots(1, len(panels),
+                            figsize=(4.2 * len(panels), 4.6))
+    axs = np.atleast_1d(axs)
+    for ax, ((_, title, cbl, vmin, vmax, cmap), arr) in zip(axs, panels):
+        pm = ax.pcolormesh(x, y, arr, vmin=vmin, vmax=vmax, cmap=cmap,
+                           shading="nearest")
+        ax.set_aspect("equal")
+        ax.set_title(title, fontsize=10)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        fig.colorbar(pm, ax=ax, orientation="horizontal", pad=0.03,
+                     label=cbl, shrink=0.9)
+    fig.suptitle(str(mon), fontsize=12)
+    fig.savefig(save_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def plot_seasonal_cycle(combined, save_path, fill_value=-999.0,
+                        regions=(1, 7)):
+    """Seasonal-cycle browse image: area-weighted mean thickness and mean
+    concentration per month, masked to region indices regions[0]..regions[1]
+    when a region mask is present (reference: combine_monthly_netcdf.py:471)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    times = np.asarray(combined.coords["time"], dtype="datetime64[M]")
+    th = combined["ice_thickness"].values \
+        if "ice_thickness" in combined else None
+    if th is None or th.ndim != 3:
+        return False
+    nt = th.shape[0]
+    ok = np.isfinite(th) & (th != fill_value)
+    if "region_mask" in combined:
+        r = combined["region_mask"].values
+        ok &= ((r >= regions[0]) & (r <= regions[1]))[None]
+    area = combined["grid_cell_area"].values \
+        if "grid_cell_area" in combined else np.ones(th.shape[1:])
+    w = np.where(ok, area[None], 0.0)
+    mean_th = np.divide(
+        (np.where(ok, th, 0.0) * area[None]).sum(axis=(1, 2)),
+        np.maximum(w.sum(axis=(1, 2)), 1e-30))
+    series = [("area-weighted mean thickness (m)", mean_th)]
+    if "sea_ice_conc" in combined:
+        c = combined["sea_ice_conc"].values
+        cv = np.where(np.isfinite(c) & (c != fill_value) & ok, c, np.nan)
+        with np.errstate(invalid="ignore"):
+            series.append(("mean concentration", np.nanmean(cv, axis=(1, 2))))
+    fig, axs = plt.subplots(len(series), 1, figsize=(8, 3 * len(series)),
+                            sharex=True, squeeze=False)
+    for ax, (label, vals) in zip(axs[:, 0], series):
+        ax.plot(times.astype("datetime64[D]").astype("O"), vals[:nt],
+                marker="o")
+        ax.set_ylabel(label, fontsize=9)
+        ax.grid(alpha=0.3)
+    fig.suptitle("Seasonal cycle "
+                 f"(regions {regions[0]}-{regions[1]})", fontsize=11)
+    fig.savefig(save_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def write_browse_images(combined, browse_dir, base_name="combined",
+                        fill_value=-999.0):
+    """All browse products: one per-month panel PNG + one seasonal-cycle PNG
+    (reference main flow: combine_monthly_netcdf.py:678-694). Returns the
+    list of paths written."""
+    os.makedirs(browse_dir, exist_ok=True)
+    written = []
+    p = os.path.join(browse_dir, f"{base_name}_browse_seasonal_cycle.png")
+    if plot_seasonal_cycle(combined, p, fill_value):
+        written.append(p)
+    times = np.asarray(combined.coords["time"], dtype="datetime64[M]")
+    for ti in range(len(times)):
+        ym = np.datetime_as_string(times[ti]).replace("-", "")
+        p = os.path.join(browse_dir, f"{base_name}_browse_{ym}.png")
+        if plot_browse_month(combined, ti, p, fill_value):
+            written.append(p)
+    for p in written:
+        cprint(f"browse: {p}", "OKBLUE")
+    return written
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
@@ -217,14 +339,22 @@ def main(argv=None):
     ap.add_argument("--region-mask", default=None)
     ap.add_argument("--sic-dir", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--browse-dir", default=None,
+                    help="write V4-style per-month browse PNGs + a "
+                         "seasonal-cycle PNG here")
+    ap.add_argument("--fill-value", type=float, default=-999.0)
     args = ap.parse_args(argv)
     out = args.out or os.path.join(
         args.data_dir, f"combined_{args.run_string}_{args.version}.nc")
-    combine_monthly_netcdf(
+    combined = combine_monthly_netcdf(
         args.data_dir, run_string=args.run_string,
         version_string=args.version, file_pattern=args.file_pattern,
         cell_area_path=args.cell_area, region_mask_path=args.region_mask,
         sic_dir=args.sic_dir, out_path=out)
+    if args.browse_dir:
+        write_browse_images(combined, args.browse_dir,
+                            os.path.splitext(os.path.basename(out))[0],
+                            args.fill_value)
 
 
 if __name__ == "__main__":

@@ -49,7 +49,9 @@ def main(make_plots=True):
 
     df["x"], df["y"] = WGS84toEASE2(df["lon"].values, df["lat"].values,
                                     lat_0=lat_0, lon_0=lon_0)
-    df["t"] = df["datetime"].values.astype("datetime64[D]").astype(float)
+    # np.asarray, not .values: pandas may back str columns with Arrow
+    # arrays whose .astype rejects datetime64[D]
+    df["t"] = np.asarray(df["datetime"]).astype("datetime64[D]").astype(float)
 
     cprint("stats on raw z", "OKBLUE")
     print(stats_on_vals(df["z"].values, name="z"))

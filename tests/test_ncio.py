@@ -3,6 +3,8 @@ netCDF3 via scipy, DataLoader engine integration and where pushdown.
 (Reference surface: GPSat/dataloader.py:32-33,388-389,776,1126-1155.)
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -207,3 +209,16 @@ def test_combine_monthly_netcdf(tmp_path):
     back = read_netcdf(out_nc)
     assert back["ice_thickness"].values.shape == (3, ny, nx)
     np.testing.assert_allclose(back["grid_cell_area"].values[0, 0], 625e6)
+
+    # browse images (reference --browse_dir: per-month V4-style panels +
+    # seasonal cycle, combine_monthly_netcdf.py:678-694)
+    from examples.combine_monthly_netcdf import write_browse_images
+    browse = tmp_path / "browse"
+    written = write_browse_images(combined, str(browse), "combined")
+    names = sorted(os.path.basename(p) for p in written)
+    assert names == ["combined_browse_201811.png",
+                     "combined_browse_201812.png",
+                     "combined_browse_201901.png",
+                     "combined_browse_seasonal_cycle.png"]
+    for p in written:
+        assert os.path.getsize(p) > 1000
