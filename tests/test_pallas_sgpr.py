@@ -277,3 +277,35 @@ def test_gpr_pool_mesh_matches_single_device():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(got["preds"]["f*"], base["preds"]["f*"],
                                rtol=1e-7, atol=1e-9)
+
+
+def test_sgpr_fill_chunk_width(monkeypatch):
+    """The post-pool prediction-fill chunk width (round-4 lever): canonical
+    bucket of E capped by the [B, M_pad, N] live-buffer budget, multiple of
+    16 (cholinv expert-group tiling), never below the pool width; pool
+    width when the hybrid Pallas path is off (CPU/XLA fallback)."""
+    from gpsat_tpu.models.batched import BatchedSGPR
+
+    eng = BatchedSGPR(coords_dim=3, num_inducing_points=500,
+                      dtype=jnp.float32)
+    X = np.zeros((128, 2000, 3))
+
+    monkeypatch.setattr("gpsat_tpu.ops.pallas_sgpr.pallas_sgpr_vg_supported",
+                        lambda *a, **k: True)
+    # bench profile: M_pad=512, N=2000 -> cap 2**27 // 1024000 = 131 -> 128
+    assert eng._fill_chunk_width(128, X, None, 32, True) == 128
+    # small sweeps keep the bucket width; never below the pool width
+    assert eng._fill_chunk_width(40, X, None, 32, True) == 64
+    assert eng._fill_chunk_width(8, X, None, 32, True) == 32
+    # huge-N experts: the memory cap floors to a multiple of 16
+    Xbig = np.zeros((64, 16000, 3))
+    w = eng._fill_chunk_width(64, Xbig, None, 8, True)
+    assert w % 16 == 0 and w * 512 * 16000 * 4 <= 2**29
+    # pallas path off -> pool width unchanged
+    monkeypatch.setattr("gpsat_tpu.ops.pallas_sgpr.pallas_sgpr_vg_supported",
+                        lambda *a, **k: False)
+    assert eng._fill_chunk_width(128, X, None, 32, True) == 32
+    # no predict -> pool width
+    monkeypatch.setattr("gpsat_tpu.ops.pallas_sgpr.pallas_sgpr_vg_supported",
+                        lambda *a, **k: True)
+    assert eng._fill_chunk_width(128, X, None, 32, False) == 32
