@@ -100,7 +100,10 @@ def _install_cache_log_capture():
     lg = logging.getLogger("jax._src.compiler")
     lg.setLevel(logging.DEBUG)
     lg.addHandler(handler)
-    lg.propagate = False    # keep thousands of DEBUG lines off stderr
+    lg.propagate = False    # keep thousands of DEBUG lines off stderr...
+    passthrough = logging.StreamHandler()
+    passthrough.setLevel(logging.WARNING)
+    lg.addHandler(passthrough)  # ...but keep cache-write failures etc.
     return handler
 
 
@@ -133,11 +136,23 @@ def _classify_timeout(events, timeout_s):
         # last event — the child is sitting inside that program's compile
         last = events[-1]
         if last["event"] == "cache_miss":
+            # a trivial-op miss resolves in well under a second, so more
+            # events follow immediately; a long silent gap after the miss
+            # means the child really is inside that program's compile. A
+            # stall striking in the same window is indistinguishable from
+            # out here, so say so when the gap is short.
             prog = last.get("program", "?")
-            return (base + f": cold compile cache — persistent-cache MISS "
-                    f"for '{prog}' at t={last['t']}s and still compiling; "
-                    "a fresh remote compile takes 5-15 min and no per-child "
-                    "cap covers it (run `python bench.py prewarm` first)")
+            gap = timeout_s - float(last.get("t", 0.0))
+            if gap > 60.0:
+                return (base + f": cold compile cache — persistent-cache "
+                        f"MISS for '{prog}' at t={last['t']}s with no "
+                        f"events for {gap:.0f}s; a fresh remote compile "
+                        "takes 5-15 min and no per-child cap covers it "
+                        "(run `python bench.py prewarm` first)")
+            return (base + f": persistent-cache MISS for '{prog}' only "
+                    f"{gap:.0f}s before the cap — cold compile OR a "
+                    "tunnel stall right after a trivial-op miss; retry "
+                    "first, prewarm if the retry dies the same way")
         return (base + ": tunnel stall during warm-up (last persistent-"
                 "cache lookup HIT — the program is warm; a fresh "
                 "child process usually recovers)")
@@ -243,6 +258,10 @@ def _run_child(mode, timeout_s, measure_baseline=True):
     Returns the child's parsed JSON line, or {"error": ...}.
     """
     env = dict(os.environ)
+    # a leaked prewarm flag would turn every child into warm-up-only (no
+    # "value" key -> the extras loop KeyErrors and the one JSON line never
+    # prints); children of the measuring parent always measure
+    env.pop("GPSAT_BENCH_WARMUP_ONLY", None)
     if not measure_baseline:
         env["GPSAT_BENCH_NO_BASELINE"] = "1"
     fd, progress_path = tempfile.mkstemp(prefix=f"gpsat_bench_{mode}_",
@@ -357,8 +376,10 @@ def main(model="all"):
         else:
             result.setdefault("vs_baseline", None)
             result["baseline_n"] = 0
+            why = "no headline value" if not result.get("value") \
+                else "time budget"
             result["unit"] = result.get("unit", "") + \
-                " [baseline skipped: time budget]"
+                f" [baseline skipped: {why}]"
         print(json.dumps(result))
         return
     result = run_mode(

@@ -291,9 +291,13 @@ def plot_seasonal_cycle(combined, save_path, fill_value=-999.0,
     series = [("area-weighted mean thickness (m)", mean_th)]
     if "sea_ice_conc" in combined:
         c = combined["sea_ice_conc"].values
-        cv = np.where(np.isfinite(c) & (c != fill_value) & ok, c, np.nan)
-        with np.errstate(invalid="ignore"):
-            series.append(("mean concentration", np.nanmean(cv, axis=(1, 2))))
+        good = np.isfinite(c) & (c != fill_value) & ok
+        # explicit guard: np.nanmean warns (warnings, not errstate) on
+        # all-NaN months; an empty month plots as a gap
+        cnt = good.sum(axis=(1, 2))
+        tot = np.where(good, c, 0.0).sum(axis=(1, 2))
+        series.append(("mean concentration",
+                       np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)))
     fig, axs = plt.subplots(len(series), 1, figsize=(8, 3 * len(series)),
                             sharex=True, squeeze=False)
     for ax, (label, vals) in zip(axs[:, 0], series):

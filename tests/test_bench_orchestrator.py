@@ -96,3 +96,40 @@ def test_cache_log_handler_parses_jax_messages(tmp_path, monkeypatch):
                             "(%.2fs)", ("jit__lbfgs_pool_jit", 780.0), None)
     h.emit(rec)
     assert h.significant_misses() == ["jit__lbfgs_pool_jit"]
+
+
+def test_run_child_strips_leaked_warmup_flag(monkeypatch):
+    """A GPSAT_BENCH_WARMUP_ONLY leaked from a user's prewarm shell must not
+    turn 'all'-mode children into warm-up-only runs (their result would have
+    no 'value' key and the extras loop would KeyError before the mandatory
+    JSON line prints)."""
+    captured = {}
+
+    def fake_run(cmd, capture_output, text, timeout, env):
+        captured["env"] = env
+
+        class R:
+            stdout = '{"value": 1.0, "unit": "u"}'
+            stderr = ""
+            returncode = 0
+        return R()
+
+    monkeypatch.setenv("GPSAT_BENCH_WARMUP_ONLY", "1")
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    result = bench._run_child("gpr", timeout_s=5.0, measure_baseline=False)
+    assert result == {"value": 1.0, "unit": "u"}
+    assert "GPSAT_BENCH_WARMUP_ONLY" not in captured["env"]
+    assert captured["env"]["GPSAT_BENCH_NO_BASELINE"] == "1"
+
+
+def test_classify_timeout_short_gap_is_ambiguous():
+    """A cache_miss immediately before the cap is cold-compile OR a stall
+    after a trivial-op miss — the verdict must say retry-first, while a long
+    silent gap after the miss is confidently a cold compile."""
+    ev = [{"t": 1.0, "event": "start"}, {"t": 2.0, "event": "warmup_start"},
+          {"t": 250.0, "event": "cache_miss", "program": "jit_subtract"}]
+    msg = bench._classify_timeout(ev, 280.0)
+    assert "retry" in msg and "prewarm" in msg
+    ev[-1]["t"] = 30.0
+    msg = bench._classify_timeout(ev, 280.0)
+    assert "cold compile cache" in msg and "jit_subtract" in msg

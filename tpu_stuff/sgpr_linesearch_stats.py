@@ -85,7 +85,7 @@ def main(E=16, N=1000, M=256, D=3, max_its=600, policy=None,
         ftry_log.append(np.asarray(f))
         return f, g
 
-    mls, rec = policy or lb.linesearch_policy(jnp.float32)
+    mls, rec = policy or lb.linesearch_policy(jnp.float32, "sgpr")
     print(f"SGPR E={E} N={N} M={M} policy=(mls={mls}, rec={rec}) ftol={ftol:g} seed={seed}")
     step = lb._make_step(vg_rec, E, u0.shape[1], u0.dtype, engine.max_iter,
                          engine.gtol, ftol, 10, mls, rec)
