@@ -46,7 +46,7 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
         from gpsat_tpu.ops.pallas_gpr import pallas_vg_supported
         vg_fun = make_gpr_vg_fun(kernel, free_names, d) \
             if pallas_vg_supported(kernel, d, X.shape[1]) else None
-        mls, rec = linesearch_policy(X.dtype)
+        mls, rec = linesearch_policy(X.dtype, "gpr", n=X.shape[1])
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
             ftol, 10, mls, "custom", vg_fun=vg_fun, recovery_steps=rec)
@@ -445,7 +445,8 @@ class BatchedGPR:
             lambda a: np.broadcast_to(np.asarray(a, dtype=self.dtype),
                                       (E,) + np.asarray(a).shape), bij)
         objective, vg_fun = self._pool_objective(N=X.shape[1])
-        mls, rec = linesearch_policy(self.dtype, self.linesearch_kind)
+        mls, rec = linesearch_policy(self.dtype, self.linesearch_kind,
+                                     n=X.shape[1])
         res = batched_lbfgs_pool(
             objective, u0,
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),

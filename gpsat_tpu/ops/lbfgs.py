@@ -23,9 +23,9 @@ import optax
 __all__ = ["batched_lbfgs", "LBFGSResult", "linesearch_policy"]
 
 
-def linesearch_policy(dtype, kind="gpr"):
-    """(max_linesearch_steps, recovery_steps) by working precision and
-    objective family.
+def linesearch_policy(dtype, kind="gpr", n=None):
+    """(max_linesearch_steps, recovery_steps) by working precision,
+    objective family, and (for exact GPR) the padded per-expert data size.
 
     f32 (the TPU production dtype): the objective's noise floor is
     ~1e-4 relative, so deep backtracking chains grind noise — don't probe
@@ -34,11 +34,20 @@ def linesearch_policy(dtype, kind="gpr"):
 
     The post-fail steepest-descent recovery chain is per-family:
 
-    - "gpr" (exact NLML): a 4-halving recovery. It recovered only 2.5% of
-      accepts on the bench but is essential on small/multimodal experts,
-      where ending on the first exhausted chain measurably lost ~2-3% of
-      objective (tpu_stuff/linesearch_stats.py).
-    - "sgpr" (collapsed ELBO): NO recovery halvings (one free
+    - "gpr" (exact NLML): size-gated. On SMALL experts the recovery is
+      essential — ending on the first exhausted chain lost up to 0.41
+      absolute NLML (mean 8.6e-3 rel) on multimodal N=150 problems, the
+      round-3 "plateau escape" finding reproduced with fresh data. At
+      N >= 256 the same multimodal construction shows the recovery worth
+      NOTHING (max delta 9e-5 across seeds at N=256/300/400, bench
+      workload delta ~1e-7), while costing 12% of all live trials at the
+      bench shape (trials/accept 1.82 -> 1.59, classification probe in
+      tpu_stuff/linesearch_stats.py driven at N=400). Gate: padded
+      n >= 384 drops the recovery — production N-buckets at the 512 level
+      contain valid sizes >= 257 (the tested-safe range) and the harmful
+      ~150-size regime lives in the 256-level bucket, which keeps the
+      4-halving recovery.
+    - "sgpr" (collapsed ELBO): NO recovery halvings at any size (one free
       steepest-descent trial post-reset, then done). Measured at the
       production profile N=2000/M=500 AND small-expert N=200/M=64 across
       seeds (tpu_stuff/sgpr_linesearch_stats.py): the recovery chain
@@ -52,7 +61,11 @@ def linesearch_policy(dtype, kind="gpr"):
     branch in _make_step).
     """
     if jnp.dtype(dtype) == jnp.float32:
-        return (8, 0) if kind == "sgpr" else (8, 4)
+        if kind == "sgpr":
+            return 8, 0
+        if kind == "gpr" and n is not None and n >= 384:
+            return 8, 0
+        return 8, 4
     return 12, 12
 
 

@@ -104,3 +104,19 @@ def test_f64_fit_scipy_parity_and_sane_trajectories():
             method="L-BFGS-B")
         assert ours[i] <= res.fun + 1e-3 * max(1.0, abs(res.fun)), (
             f"expert {i}: ours {ours[i]:.6f} vs scipy {res.fun:.6f}")
+
+
+def test_linesearch_policy_table():
+    """Pin the measured policy table (see linesearch_policy docstring):
+    changing these constants changes compiled pool programs AND the
+    quality/trial trade measured by the CPU probes."""
+    from gpsat_tpu.ops.lbfgs import linesearch_policy
+
+    assert linesearch_policy(jnp.float32, "gpr") == (8, 4)
+    assert linesearch_policy(jnp.float32, "gpr", n=256) == (8, 4)
+    assert linesearch_policy(jnp.float32, "gpr", n=384) == (8, 0)
+    assert linesearch_policy(jnp.float32, "gpr", n=512) == (8, 0)
+    assert linesearch_policy(jnp.float32, "sgpr") == (8, 0)
+    assert linesearch_policy(jnp.float32, "sgpr", n=64) == (8, 0)
+    assert linesearch_policy(jnp.float64, "gpr", n=512) == (12, 12)
+    assert linesearch_policy(jnp.float64, "sgpr") == (12, 12)
