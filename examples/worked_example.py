@@ -197,6 +197,12 @@ fig.savefig(out_png, dpi=150)
 plt.close(fig)
 cprint(f"saved plot to {out_png}", "OKGREEN")
 
+try:                      # inline display in the notebook form; no-op as a script
+    from IPython.display import Image, display
+    display(Image(filename=out_png, width=820))
+except Exception:
+    pass
+
 # %% [markdown]
 # ## Where to go next
 #
