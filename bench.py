@@ -364,7 +364,7 @@ def main(model="all"):
         # above guarantees the full n=4 sample in a normal run; fewer
         # samples (a retry ate the budget) are flagged low-confidence.
         n_ref = int(max(0, min(_BASELINE_N, (remaining() + 25.0) // 22)))
-        if n_ref and result.get("value"):
+        if n_ref and result.get("value") is not None:
             X, z, Xs = make_workload(512, 400, 400, 3)
             ref_rate = baseline_rate(X, z, Xs, n_sample=n_ref)
             result["vs_baseline"] = round(result["value"] / ref_rate, 2)
@@ -376,7 +376,7 @@ def main(model="all"):
         else:
             result.setdefault("vs_baseline", None)
             result["baseline_n"] = 0
-            why = "no headline value" if not result.get("value") \
+            why = "no headline value" if result.get("value") is None \
                 else "time budget"
             result["unit"] = result.get("unit", "") + \
                 f" [baseline skipped: {why}]"

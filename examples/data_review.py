@@ -111,10 +111,11 @@ per_source
 
 # %%
 fig, axs = plt.subplots(1, 2, figsize=(11, 4.6))
-sub = df.loc[df["z"].abs() < 1].sample(20_000, random_state=0)
+sub_all = df.loc[df["z"].abs() < 1]
+sub = sub_all.sample(min(len(sub_all), 20_000), random_state=0)
 sc = axs[0].scatter(sub["x"] / KM, sub["y"] / KM, c=sub["z"], s=2,
                     cmap="RdBu_r", vmin=-0.6, vmax=0.6)
-axs[0].set_title(f"raw tracks (sample of {len(df)})")
+axs[0].set_title(f"raw tracks (sample of {len(sub)})")
 sc2 = axs[1].scatter(bin_df["x"] / KM, bin_df["y"] / KM, c=bin_df["z"],
                      s=14, marker="s", cmap="RdBu_r", vmin=-0.6, vmax=0.6)
 axs[1].set_title(f"binned 100 km ({len(bin_df)} cells)")

@@ -27,12 +27,22 @@ from gpsat_tpu.ops.transforms import Sigmoid, Softplus
 __all__ = ["BatchedGPR"]
 
 
+def _min_valid_size(mask, n_padded):
+    """Smallest per-expert VALID (masked) data count in the bucket, for the
+    linesearch_policy recovery gate — quantized to the policy breakpoint
+    (256) so buckets that share a policy also share a jit trace."""
+    if mask is None:
+        return int(n_padded)
+    n_min = int(np.asarray(mask).sum(axis=1).min())
+    return 256 if n_min >= 256 else 128
+
+
 @partial(jax.jit, static_argnames=("kernel", "free_names", "d", "optimise",
                                    "do_predict", "max_iter", "gtol", "ftol",
-                                   "compute_fval"))
+                                   "compute_fval", "ls_n"))
 def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
                      free_names, d, optimise, do_predict, max_iter, gtol,
-                     ftol, compute_fval=True):
+                     ftol, compute_fval=True, ls_n=None):
     """One device program: (optional) batched L-BFGS fit + masked batched
     posterior prediction for a [B, N(, P)] bucket."""
     objective, spec = make_gpr_objective(kernel, free_names, d)
@@ -46,7 +56,12 @@ def _gpr_fit_predict(u0, X, y, mask, Xs, bijectors, fixed, *, kernel,
         from gpsat_tpu.ops.pallas_gpr import pallas_vg_supported
         vg_fun = make_gpr_vg_fun(kernel, free_names, d) \
             if pallas_vg_supported(kernel, d, X.shape[1]) else None
-        mls, rec = linesearch_policy(X.dtype, "gpr", n=X.shape[1])
+        # ls_n is the min VALID (masked) size across the bucket, computed by
+        # the caller on the host; the padded width is only a fallback for
+        # direct unmasked use (linesearch_policy gates the recovery chain on
+        # the smallest expert actually present, not the bucket width)
+        mls, rec = linesearch_policy(
+            X.dtype, "gpr", n=X.shape[1] if ls_n is None else ls_n)
         u, fval, conv, iters = _batched_lbfgs_jit(
             objective, u0, (X, y, mask, bijectors, fixed), max_iter, gtol,
             ftol, 10, mls, "custom", vg_fun=vg_fun, recovery_steps=rec)
@@ -253,7 +268,8 @@ class BatchedGPR:
             kernel=self.kernel, free_names=self.free_names, d=self.d,
             optimise=bool(optimise), do_predict=bool(do_predict),
             max_iter=self.max_iter, gtol=self.gtol, ftol=self.ftol,
-            compute_fval=bool(compute_fval))
+            compute_fval=bool(compute_fval),
+            ls_n=_min_valid_size(mask, X.shape[1]))
 
     def _snapshot_state(self):
         """Engine side-state captured before a collapse-restart re-run
@@ -446,7 +462,7 @@ class BatchedGPR:
                                       (E,) + np.asarray(a).shape), bij)
         objective, vg_fun = self._pool_objective(N=X.shape[1])
         mls, rec = linesearch_policy(self.dtype, self.linesearch_kind,
-                                     n=X.shape[1])
+                                     n=_min_valid_size(mask, X.shape[1]))
         res = batched_lbfgs_pool(
             objective, u0,
             (np.asarray(X, dtype=self.dtype), np.asarray(y, dtype=self.dtype),
@@ -1367,6 +1383,10 @@ class BatchedVFF(BatchedGPR):
 
     model_name = "VFFModel"
     objective_sign = -1.0
+    # the GPR size-gated recovery drop is validated only on the exact NLML
+    # objective; VFF/ASVGP keep the (8, 4) chain at every size (see
+    # ops/lbfgs.linesearch_policy)
+    linesearch_kind = "vff"
     _math = None   # resolved lazily to ops.vff (subclasses swap feature math)
 
     def __init__(self, coords_dim, kernel="Matern32",

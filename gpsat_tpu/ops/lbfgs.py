@@ -25,7 +25,10 @@ __all__ = ["batched_lbfgs", "LBFGSResult", "linesearch_policy"]
 
 def linesearch_policy(dtype, kind="gpr", n=None):
     """(max_linesearch_steps, recovery_steps) by working precision,
-    objective family, and (for exact GPR) the padded per-expert data size.
+    objective family, and (for exact GPR) a LOWER BOUND on the per-expert
+    VALID data size (callers pass min over experts of the masked count, not
+    the padded bucket width — a padded-width gate silently dropped the
+    recovery chain for small heavily-masked experts in wide buckets).
 
     f32 (the TPU production dtype): the objective's noise floor is
     ~1e-4 relative, so deep backtracking chains grind noise — don't probe
@@ -42,11 +45,15 @@ def linesearch_policy(dtype, kind="gpr", n=None):
       NOTHING (max delta 9e-5 across seeds at N=256/300/400, bench
       workload delta ~1e-7), while costing 12% of all live trials at the
       bench shape (trials/accept 1.82 -> 1.59, classification probe in
-      tpu_stuff/linesearch_stats.py driven at N=400). Gate: padded
-      n >= 384 drops the recovery — production N-buckets at the 512 level
-      contain valid sizes >= 257 (the tested-safe range) and the harmful
-      ~150-size regime lives in the 256-level bucket, which keeps the
-      4-halving recovery.
+      tpu_stuff/linesearch_stats.py driven at N=400). Gate: min VALID
+      size n >= 256 drops the recovery (N=256 is the smallest
+      measured-safe size); the harmful ~150-size regime keeps the
+      4-halving recovery regardless of how wide its padded bucket is.
+    - "vff" (VFF/ASVGP collapsed bound): always (8, 4) in f32. The
+      size-gated drop was validated ONLY on the exact-GPR NLML objective;
+      VFF workloads routinely have large N, so an inherited "gpr" gate
+      would silently apply an unvalidated policy to a different objective
+      family (round-4 advisor finding).
     - "sgpr" (collapsed ELBO): NO recovery halvings at any size (one free
       steepest-descent trial post-reset, then done). Measured at the
       production profile N=2000/M=500 AND small-expert N=200/M=64 across
@@ -63,7 +70,7 @@ def linesearch_policy(dtype, kind="gpr", n=None):
     if jnp.dtype(dtype) == jnp.float32:
         if kind == "sgpr":
             return 8, 0
-        if kind == "gpr" and n is not None and n >= 384:
+        if kind == "gpr" and n is not None and n >= 256:
             return 8, 0
         return 8, 4
     return 12, 12

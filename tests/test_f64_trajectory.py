@@ -113,10 +113,32 @@ def test_linesearch_policy_table():
     from gpsat_tpu.ops.lbfgs import linesearch_policy
 
     assert linesearch_policy(jnp.float32, "gpr") == (8, 4)
-    assert linesearch_policy(jnp.float32, "gpr", n=256) == (8, 4)
-    assert linesearch_policy(jnp.float32, "gpr", n=384) == (8, 0)
+    # n is a lower bound on the VALID (masked) per-expert size; N=256 is the
+    # smallest measured-safe size for dropping the recovery chain
+    assert linesearch_policy(jnp.float32, "gpr", n=150) == (8, 4)
+    assert linesearch_policy(jnp.float32, "gpr", n=255) == (8, 4)
+    assert linesearch_policy(jnp.float32, "gpr", n=256) == (8, 0)
     assert linesearch_policy(jnp.float32, "gpr", n=512) == (8, 0)
     assert linesearch_policy(jnp.float32, "sgpr") == (8, 0)
     assert linesearch_policy(jnp.float32, "sgpr", n=64) == (8, 0)
+    # VFF/ASVGP: the GPR gate is NOT validated on the collapsed bound —
+    # always keep the recovery chain in f32 (round-4 advisor finding)
+    assert linesearch_policy(jnp.float32, "vff", n=2048) == (8, 4)
+    assert linesearch_policy(jnp.float32, "vff") == (8, 4)
     assert linesearch_policy(jnp.float64, "gpr", n=512) == (12, 12)
     assert linesearch_policy(jnp.float64, "sgpr") == (12, 12)
+    assert linesearch_policy(jnp.float64, "vff", n=2048) == (12, 12)
+
+
+def test_min_valid_size_gates_policy():
+    """fit_predict_many with small heavily-masked experts in a wide padded
+    bucket must keep the recovery chain: the gate reads the min masked
+    count, not the padded width (round-4 advisor finding)."""
+    from gpsat_tpu.models.batched import _min_valid_size
+
+    mask = np.zeros((4, 512), dtype=bool)
+    mask[:, :150] = True                      # small experts, wide bucket
+    assert _min_valid_size(mask, 512) == 128  # quantized below-gate value
+    mask[:, :400] = True
+    assert _min_valid_size(mask, 512) == 256  # quantized at-gate value
+    assert _min_valid_size(None, 512) == 512
