@@ -135,6 +135,12 @@ class BatchedGPR:
         if jitter == 0.0 and self.dtype == jnp.float32:
             jitter = 1e-6
         kernel_kwargs = dict(kernel_kwargs or {})
+        if "smoothness" in kernel_kwargs:
+            # GPyTorch-config compatibility (gpytorch_models.py:230):
+            # smoothness selects the Matern order of the compiled kernel
+            from gpsat_tpu.ops.kernels import kernel_from_smoothness
+            self.kernel = kernel = kernel_from_smoothness(
+                kernel_kwargs.pop("smoothness"), kernel)
 
         self.user_set = {
             "lengthscales": "lengthscales" in kernel_kwargs,
@@ -973,12 +979,13 @@ class BatchedSGPR(BatchedGPR):
                                    "do_predict", "max_iter", "lr",
                                    "check_every", "persistence", "jitter",
                                    "early_stop", "natural_gradients", "gamma",
-                                   "train_z", "train_qm", "train_qs", "mb"))
+                                   "train_z", "train_qm", "train_qs", "mb",
+                                   "reshuffle", "mb_seed"))
 def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, perm, bijectors,
                       fixed, *, kernel, free_names, d, optimise, do_predict,
                       max_iter, lr, check_every, persistence, jitter,
                       early_stop, natural_gradients, gamma, train_z, train_qm,
-                      train_qs, mb):
+                      train_qs, mb, reshuffle=False, mb_seed=0):
     """Batched SVGP: Adam on (hypers[, Z], q_mu, q_sqrt) with per-expert early
     stopping, then posterior prediction. Loop at batch level (see lbfgs.py
     design note).
@@ -1015,7 +1022,24 @@ def _svgp_fit_predict(u0, qm0, qs0, X, y, mask, Z, zmask, Xs, perm, bijectors,
         if mb == 0:
             return X, y, mask, 1.0
         start = (it * mb) % N
-        idx = jax.lax.dynamic_slice_in_dim(perm, start, mb, axis=1)  # [B, mb]
+        if reshuffle:
+            # per-epoch seeded reshuffle (reference semantics: the tf.data
+            # pipeline reshuffles every pass, gpflow_models.py:1073
+            # shuffle(N).repeat()). Valid indices sort first under a fresh
+            # per-epoch random key; window positions wrap within each
+            # expert's valid count (the same tiling the fixed cycle uses),
+            # so every window is all-valid even for ragged experts.
+            epoch = (it * mb) // N
+            key = jax.random.fold_in(jax.random.PRNGKey(mb_seed), epoch)
+            r = jax.random.uniform(key, (B, N), dtype=X.dtype)
+            r = jnp.where(mask, r, jnp.asarray(2.0, dtype=X.dtype))
+            ordr = jnp.argsort(r, axis=1).astype(jnp.int32)
+            nv = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(jnp.int32)
+            pos = (start + jnp.arange(mb, dtype=jnp.int32))[None, :] \
+                % nv[:, None]                                  # [B, mb]
+            idx = jnp.take_along_axis(ordr, pos, axis=1)
+        else:
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, mb, axis=1)  # [B, mb]
         Xb = jnp.take_along_axis(X, idx[:, :, None], axis=1)
         yb = jnp.take_along_axis(y, idx, axis=1)
         mbk = jnp.take_along_axis(mask, idx, axis=1)
@@ -1174,6 +1198,11 @@ class BatchedSVGP(BatchedSGPR):
         mb = optim_kwargs.pop("minibatch_size", minibatch_size)
         self.minibatch_size = None if mb is None else int(mb)
         self.minibatch_seed = int(optim_kwargs.pop("minibatch_seed", 0))
+        # per-epoch seeded reshuffle (reference tf.data shuffle(N).repeat(),
+        # gpflow_models.py:1073); default False = one fixed shuffled cycle,
+        # pinned equivalent at convergence in tests/test_svgp.py
+        self.minibatch_reshuffle = bool(
+            optim_kwargs.pop("minibatch_reshuffle", False))
         optim_kwargs.setdefault("max_iter", 2000)
         fixed = set(optim_kwargs.get("fixed_params") or [])
         self.train_qm = "inducing_mean" not in fixed
@@ -1284,7 +1313,8 @@ class BatchedSVGP(BatchedSGPR):
             jitter=self.jitter, early_stop=self.early_stop,
             natural_gradients=self.natural_gradients, gamma=self.gamma,
             train_z=self.train_inducing_points, train_qm=self.train_qm,
-            train_qs=self.train_qs, mb=self._mb)
+            train_qs=self.train_qs, mb=self._mb,
+            reshuffle=self.minibatch_reshuffle, mb_seed=self.minibatch_seed)
         self._qm_final = np.array(qm)
         self._qs_final = np.array(qs)
         self._Z_final = np.array(z)

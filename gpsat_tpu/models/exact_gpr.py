@@ -143,12 +143,17 @@ class GPRModel(BaseGPRModel):
                          coords=coords, obs=obs, coords_scale=coords_scale,
                          obs_scale=obs_scale, obs_mean=obs_mean, verbose=verbose)
 
+        kernel_kwargs = dict(kernel_kwargs or {})
+        if "smoothness" in kernel_kwargs:
+            # GPyTorch-config compatibility (gpytorch_models.py:230):
+            # smoothness selects the Matern order of the compiled kernel
+            from gpsat_tpu.ops.kernels import kernel_from_smoothness
+            kernel = kernel_from_smoothness(
+                kernel_kwargs.pop("smoothness"), kernel)
         assert kernel in KERNEL_NAMES, \
             f"kernel: {kernel} not in available kernels: {KERNEL_NAMES}"
         self.kernel = kernel
         self.jitter = float(jitter)
-
-        kernel_kwargs = dict(kernel_kwargs or {})
         d = self.coords.shape[1]
         self._lengthscales = np.asarray(
             kernel_kwargs.pop("lengthscales", np.ones(d)), dtype=float)

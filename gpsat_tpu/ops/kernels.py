@@ -69,6 +69,40 @@ _ISOTROPIC = {
 
 KERNEL_NAMES = sorted(list(_ISOTROPIC) + ["RationalQuadratic", "Cosine"])
 
+# GPyTorch-config compatibility: the reference exposes Matern smoothness as
+# a model hyperparameter nu in {0.5, 1.5, 2.5}
+# (reference: GPSat/models/gpytorch_models.py:230-248, kernel_kwargs
+# {'smoothness': 1.5} at gpytorch_models.py:499). Our kernels are static
+# compiled programs, so smoothness selects the Matern order at engine
+# construction instead of being a runtime tensor attribute.
+_SMOOTHNESS_TO_KERNEL = {0.5: "Matern12", 1.5: "Matern32", 2.5: "Matern52"}
+
+
+def kernel_from_smoothness(smoothness, kernel="Matern32"):
+    """Map a GPyTorch-style Matern `smoothness` (nu) to a kernel name.
+
+    Exact matches 0.5/1.5/2.5 select Matern12/32/52. Other values warn and
+    round to the nearest supported order (GPyTorch itself only implements
+    half-integer nu). A non-Matern `kernel` together with `smoothness`
+    warns and keeps the named kernel.
+    """
+    import warnings
+
+    nu = float(smoothness)
+    if kernel not in ("Matern12", "Matern32", "Matern52"):
+        warnings.warn(
+            f"smoothness={nu} ignored: kernel {kernel!r} is not a Matern "
+            "family kernel", stacklevel=2)
+        return kernel
+    if nu in _SMOOTHNESS_TO_KERNEL:
+        return _SMOOTHNESS_TO_KERNEL[nu]
+    nearest = min(_SMOOTHNESS_TO_KERNEL, key=lambda k: abs(k - nu))
+    warnings.warn(
+        f"smoothness={nu} is not a supported Matern order "
+        f"(0.5/1.5/2.5); using nearest: {_SMOOTHNESS_TO_KERNEL[nearest]}",
+        stacklevel=2)
+    return _SMOOTHNESS_TO_KERNEL[nearest]
+
 
 def kernel_fn(name):
     """Return k(X1, X2, lengthscales, variance, **kw) for the named kernel."""

@@ -170,3 +170,27 @@ def test_parameter_transfer_objective_equivalence():
     m2.set_parameters(**m1.get_parameters())
     assert np.isclose(m1.get_objective_function_value(),
                       m2.get_objective_function_value(), atol=1e-10)
+
+
+def test_smoothness_selects_matern_order():
+    # GPyTorch-config compatibility: kernel_kwargs={'smoothness': nu}
+    # selects the Matern order (reference: gpytorch_models.py:230-248)
+    import warnings
+    from gpsat_tpu.models.batched import BatchedGPR
+
+    X, Y = toy_data()
+    for nu, expect in [(0.5, "Matern12"), (1.5, "Matern32"),
+                       (2.5, "Matern52")]:
+        m = GPRModel(coords=X, obs=Y, kernel_kwargs={"smoothness": nu})
+        assert m.kernel == expect
+        eng = BatchedGPR(coords_dim=1, kernel_kwargs={"smoothness": nu})
+        assert eng.kernel == expect
+    # non-half-integer warns and rounds to the nearest supported order
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m = GPRModel(coords=X, obs=Y, kernel_kwargs={"smoothness": 1.9})
+        assert m.kernel == "Matern32"
+        eng = BatchedGPR(coords_dim=1, kernel="RBF",
+                         kernel_kwargs={"smoothness": 1.5})
+        assert eng.kernel == "RBF"   # non-Matern kernel: warn + keep
+    assert len(rec) == 2
