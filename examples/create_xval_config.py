@@ -99,7 +99,12 @@ def evaluate_xval(store_path, obs_df, folds_suffixes, coords_col=("x", "y"),
                                      lengthscale=ls)
         merged = merged.rename(columns={rc: c for rc, c in
                                         zip(ref_cols, coords_col)})
-        joined = merged.merge(obs_df.round(6), on=coords_col, how="inner")
+        # round BOTH sides of the coordinate join (float equality across the
+        # store round-trip is not guaranteed; reference rounds pred_loc too,
+        # evaluate_xval_performance.py:54-56)
+        merged = merged.round({c: 6 for c in coords_col})
+        joined = merged.merge(obs_df.round({c: 6 for c in coords_col}),
+                              on=coords_col, how="inner")
         if len(joined) == 0:
             continue
         mu = joined["f*"].values + joined["f_bar"].values
