@@ -295,6 +295,152 @@ def _sgpr_vg_hybrid(params, X, y, maskf, Z, zmaskf, kernel, jitter,
 
 @functools.partial(jax.jit, static_argnames=("kernel", "jitter",
                                              "interpret"))
+def _sgpr_vg_stream(params, X, y, maskf, Z, zmaskf, kernel, jitter,
+                    interpret=False):
+    """Grid-streamed SGPR vg: cholinv factorisations + XLA M x M adjoint
+    work + the two streamed Pallas programs for everything N-sized.
+    Identical math to _sgpr_vg_hybrid (same identities, same precisions on
+    the value path); no [B, M, N] array ever materialises in HBM."""
+    from gpsat_tpu.ops.pallas_cholinv import cholinv_batched
+
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    gp = jax.lax.Precision.HIGH
+    X = jnp.asarray(X, f32)
+    Z = jnp.asarray(Z, f32)
+    B, N, D = X.shape
+    M = Z.shape[1]
+    M_pad = _pad_to(M, _T)
+    m = jnp.asarray(maskf, f32)
+    zm = jnp.asarray(zmaskf, f32)
+    if M_pad != M:
+        Z = jnp.concatenate([Z, jnp.zeros((B, M_pad - M, D), f32)], axis=1)
+        zm = jnp.concatenate([zm, jnp.zeros((B, M_pad - M), f32)], axis=1)
+    ls_in = jnp.asarray(params["lengthscales"], f32).reshape(B, -1)
+    scalar_ls = ls_in.shape[1] == 1 and D > 1
+    ls = jnp.broadcast_to(ls_in, (B, D)) if scalar_ls else ls_in
+    sf2 = jnp.asarray(params["kernel_variance"], f32).reshape(B)
+    s2 = jnp.asarray(params["likelihood_variance"], f32).reshape(B)
+    scale = f32(_KERNELS[kernel])
+    ybar = jnp.asarray(y, f32) * m
+    n = jnp.sum(m, axis=1)
+    Zs = Z / ls[:, None, :]
+
+    # ---- Kuu -> W_u (XLA build + fused cholinv) --------------------------
+    d2 = jnp.zeros((B, M_pad, M_pad), f32)
+    for j in range(D):
+        dj = Zs[:, :, None, j] - Zs[:, None, :, j]
+        d2 = d2 + dj * dj
+    r2_uu = d2 * scale
+    phi_uu = _phi(kernel, r2_uu, f32)
+    sf2c = sf2[:, None, None]
+    s2c = s2[:, None, None]
+    inv_s2 = 1.0 / s2c
+    zmm = zm[:, :, None] * zm[:, None, :]
+    eyeM = jnp.eye(M_pad, dtype=f32)
+    Kuu = sf2c * phi_uu * zmm + eyeM * (
+        zm * (f32(jitter) - 1.0) + 1.0)[:, :, None]
+    W_u, _ = cholinv_batched(Kuu, interpret=interpret)
+
+    # ---- streamed inputs (dim-major packed, N padded to a tile grid) -----
+    N_pad = _pad_to(N, _TN_MAX) if N > _TN_MAX else _pad_to(N, _T)
+    TN = min(_TN_MAX, N_pad)
+    W = max(M_pad, TN)
+    bt = _stream_group_size(M_pad, W)
+    B_pad = int(-(-B // bt) * bt)
+    xt = jnp.zeros((B, 8, N_pad), f32)
+    xt = xt.at[:, :D, :N].set(jnp.swapaxes(X, 1, 2))
+    xt = xt.at[:, 7, :N].set(m)
+    yt = jnp.zeros((B, N_pad), f32)
+    yt = yt.at[:, :N].set(ybar)
+    zt = jnp.zeros((B, 8, M_pad), f32)
+    zt = zt.at[:, :D, :].set(jnp.swapaxes(Z, 1, 2))
+    zt = zt.at[:, 7, :].set(zm)
+    p = jnp.zeros((B, 8), f32)
+    p = p.at[:, :D].set(ls).at[:, 5].set(sf2).at[:, 6].set(s2)
+    wu_in = W_u
+    if B_pad != B:
+        pad = B_pad - B
+        xt = jnp.concatenate([xt, jnp.zeros((pad, 8, N_pad), f32)], axis=0)
+        yt = jnp.concatenate([yt, jnp.zeros((pad, N_pad), f32)], axis=0)
+        zt = jnp.concatenate([zt, jnp.zeros((pad, 8, M_pad), f32)], axis=0)
+        p_tail = jnp.zeros((pad, 8), f32).at[:, :D].set(1.0)
+        p_tail = p_tail.at[:, 5].set(1.0).at[:, 6].set(1.0)
+        p = jnp.concatenate([p, p_tail], axis=0)
+        wu_in = jnp.concatenate(
+            [W_u, jnp.broadcast_to(eyeM, (pad, M_pad, M_pad))], axis=0)
+
+    Bsum, at, trA2 = _sgpr_stream1_call(xt, yt, zt, p, wu_in, kernel=kernel,
+                                        d=D, interpret=interpret)
+    Bsum, at, trA2 = Bsum[:B], at[:B], trA2[:B]
+    Bm = Bsum + eyeM
+    W_B, logdetB = cholinv_batched(Bm, interpret=interpret)
+
+    # ---- value + small rows (XLA) ----------------------------------------
+    c = jnp.einsum("bm,bmk->bk", at, W_B, precision=hp)
+    dd = jnp.einsum("bk,bmk->bm", c, W_B, precision=hp)
+    atdd = jnp.sum(at * dd, axis=1)
+    dddd = jnp.sum(dd * dd, axis=1)
+    trBinv = jnp.sum(W_B * W_B, axis=(1, 2))
+    ydoty = jnp.sum(ybar * ybar, axis=1)
+    val = (0.5 * n * f32(np.log(2.0 * np.pi)) + logdetB
+           + 0.5 * n * jnp.log(s2) + 0.5 * ydoty / s2
+           - 0.5 * atdd / (s2 * s2)
+           + 0.5 * (sf2 * n - trA2) / s2)
+
+    # ---- Kbar_uu and its contractions (XLA, M x M only) ------------------
+    BW = jnp.einsum("bmk,bnk->bmn", Bm, W_u, precision=gp)
+    G2 = jnp.einsum("bmk,bkn->bmn", W_u, W_B, precision=gp)
+    e = jnp.einsum("bmk,bk->bm", W_u, dd, precision=hp)
+    Kbar_uu = 0.5 * (
+        jnp.einsum("bmk,bkn->bmn", W_u, BW, precision=gp)
+        - 2.0 * jnp.einsum("bmk,bnk->bmn", W_u, W_u, precision=gp)
+        + jnp.einsum("bmk,bnk->bmn", G2, G2, precision=gp)
+        + (e[:, :, None] * e[:, None, :]) / (s2 * s2)[:, None, None])
+    QP_uu = Kbar_uu * (sf2c * phi_uu * zmm)
+    QF_uu = Kbar_uu * (sf2c * _phi_grad(kernel, r2_uu, f32) * zmm)
+
+    def q2_contract(QF, Aj, Bj):
+        # elementwise, not the rank-1 expansion — see _sgpr_vg_hybrid note
+        dj = Aj[:, :, None] - Bj[:, None, :]
+        return jnp.sum(QF * dj * dj, axis=(1, 2))
+
+    # ---- uf-side contractions (streamed program 2) -----------------------
+    dd_in = dd if B_pad == B else jnp.concatenate(
+        [dd, jnp.zeros((B_pad - B, M_pad), f32)], axis=0)
+    wb_in = W_B if B_pad == B else jnp.concatenate(
+        [W_B, jnp.broadcast_to(eyeM, (B_pad - B, M_pad, M_pad))], axis=0)
+    gout = _sgpr_stream2_call(xt, yt, zt, p, wu_in, wb_in, dd_in,
+                              kernel=kernel, d=D, interpret=interpret)[:B]
+
+    g_logsf2 = (jnp.sum(QP_uu, axis=(1, 2)) + gout[:, 6]
+                + 0.5 * sf2 * n / s2)
+    g_logls = []
+    for j in range(D):
+        g_j = scale * q2_contract(QF_uu, Zs[:, :, j], Zs[:, :, j]) \
+            + gout[:, 1 + j]
+        g_logls.append(g_j)
+    g_logls = jnp.stack(g_logls, axis=1)
+    g_s2 = (0.5 / s2 * (n - f32(float(M_pad)) + trBinv)
+            - 0.5 / (s2 * s2) * (ydoty - atdd / s2 - dddd / s2)
+            - 0.5 / (s2 * s2) * (sf2 * n - trA2))
+
+    g_ls = g_logls / ls
+    if scalar_ls:
+        g_ls = jnp.sum(g_ls, axis=1, keepdims=True)
+    g_ls = g_ls.reshape(jnp.shape(params["lengthscales"]))
+    grads = {
+        "lengthscales": g_ls,
+        "kernel_variance": (g_logsf2 / sf2).reshape(
+            jnp.shape(params["kernel_variance"])),
+        "likelihood_variance": g_s2.reshape(
+            jnp.shape(params["likelihood_variance"])),
+    }
+    return val, grads
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "jitter",
+                                             "interpret"))
 def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
                          jitter, interpret=False):
     """Batched SGPR posterior prediction, hybrid style (cf. _sgpr_vg_hybrid):
@@ -386,6 +532,305 @@ def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
         sf2[:, None] + jnp.sum(tmp2 * tmp2, axis=1)
         - jnp.sum(tmp1 * tmp1, axis=1), 0.0)
     return {"f*": mean, "f*_var": f_var, "y_var": f_var + s2[:, None]}
+
+
+# ---------------------------------------------------------------------------
+# round-5 grid-streamed split (the default vg path): TWO small Pallas
+# programs stream the N axis through the pallas GRID (one axis per N-tile,
+# VMEM accumulators carried across grid steps) instead of unrolling N-tiles
+# in-kernel — the mega-kernel below computes the same thing in one program
+# but its Mosaic compile takes >50 min at the production shape because
+# compile time scales with unrolled program size. Each streamed program is
+# ~30-50 ops and compiles in minutes:
+#
+#   stream1: Kuf tile build -> A~ = W_u^T Kuf -> accumulate
+#            B += A~ A~^T / s2, a~ += A~ ybar, trA2   (value-path inputs)
+#   stream2: rebuild Kuf/A~ tile -> beta, t2 = W_B^T A~, B^{-1}A~,
+#            v, Kbar_uf = -W_u v / s2 -> accumulate the uf-side
+#            lengthscale/variance gradient contractions
+#
+# Everything M x M (the two factorisations via ops/pallas_cholinv, the
+# Kbar_uu assembly and its contractions, the value scalars) stays in
+# XLA/cholinv exactly as in the hybrid — those are either latency-fused
+# already or MXU-efficient batched matmuls. What the split removes is the
+# hybrid's ~10 HBM round-trips over [B, M, N] temporaries (134 MB each at
+# the production shape) and their dispatch boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _stream_group_size(M, W):
+    """Experts per grid step for the streamed kernels: per expert two
+    [M, M] factor windows + two [M, W] tile-scratch regions."""
+    per = (2 * M * M + 2 * M * W) * 4
+    bt = int(_SGPR_VMEM_BUDGET // per) // 8 * 8
+    return int(min(max(8, bt), 16))
+
+
+def _panel_refs(p_ref, a_ref, r0, b_ref, c0, w, d, scale, Bt):
+    """(r2*scale, [q2_j]) between rows r0.. of dim-major a_ref [Bt,8,La]
+    and lanes c0.. of dim-major b_ref [Bt,8,Lb]."""
+    f32 = jnp.float32
+    r2 = jnp.zeros((Bt, _T, w), f32)
+    q2s = []
+    for j in range(d):
+        ls_j = p_ref[:, j:j + 1]
+        aj = a_ref[:, j, :] / ls_j
+        bj = b_ref[:, j, :] / ls_j
+        dj = jax.lax.slice_in_dim(aj, r0, r0 + _T, axis=1)[:, :, None] \
+            - jax.lax.slice_in_dim(bj, c0, c0 + w, axis=1)[:, None, :]
+        q2 = dj * dj * scale
+        q2s.append(q2)
+        r2 = r2 + q2
+    return r2, q2s
+
+
+def _build_kuf_at_tiles(xt_ref, zt_ref, p_ref, wu_ref, kuf_s, at_s, *,
+                        kernel, d, M, TN, Bt, dot):
+    """Stage the current N-tile's Kuf into kuf_s[:, :, :TN] and
+    A~ = W_u^T Kuf into at_s[:, :, :TN] (shared by stream1/stream2)."""
+    f32 = jnp.float32
+    mb = M // _T
+    scale = f32(_KERNELS[kernel])
+    bmm_t = (((1,), (1,)), ((0,), (0,)))
+    m_t = xt_ref[:, 7, :]                       # [Bt,TN] data-tile mask
+    zm = zt_ref[:, 7, :]                        # [Bt,M]
+    sf2c = p_ref[:, 5:6][:, :, None]
+    dep = jnp.zeros((Bt, 1, 1), f32)
+    for rb in range(mb):
+        r0 = rb * _T
+        r2, _ = _panel_refs(p_ref, zt_ref, r0, xt_ref, 0, TN, d, scale, Bt)
+        zrow = jax.lax.slice_in_dim(zm, r0, r0 + _T, axis=1)[:, :, None]
+        kuf = sf2c * _phi(kernel, r2, f32) * (zrow * m_t[:, None, :]) \
+            + (dep + jnp.zeros((Bt, 1, TN), f32))
+        kuf_s[:, r0:r0 + _T, 0:TN] = kuf
+        dep = kuf[:, :1, :1] * f32(0.0)
+    for ib in range(mb):
+        wu_cols = wu_ref[:, 0:M, ib * _T:(ib + 1) * _T]
+        at_s[:, ib * _T:(ib + 1) * _T, 0:TN] = dot(
+            wu_cols, kuf_s[:, 0:M, 0:TN], dimension_numbers=bmm_t)
+
+
+def _sgpr_stream1_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref,
+                         bout_ref, atout_ref, st_ref, kuf_s, at_s, *,
+                         kernel, d, M, TN):
+    """Grid (G, NT): accumulate B = sum_t A~_t A~_t^T / s2 (output window,
+    I added by the caller), a~ = A~ ybar and trA2 = |A~|_F^2 across the
+    N-tiles of each expert group. st_ref [Bt,128] lane 0 = trA2."""
+    from jax.experimental import pallas as pl
+    f32 = jnp.float32
+    Bt = kuf_s.shape[0]
+    mb = M // _T
+    t = pl.program_id(1)
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+    kv_dims = (((2,), (2,)), ((0,), (0,)))
+    inv_s2 = (f32(1.0) / p_ref[:, 6:7])[:, :, None]
+
+    @pl.when(t == 0)
+    def _init():
+        for rb in range(mb):
+            bout_ref[:, rb * _T:(rb + 1) * _T, :] = \
+                jnp.zeros((Bt, _T, M), f32)
+        atout_ref[:] = jnp.zeros((Bt, M), f32)
+        st_ref[:] = jnp.zeros((Bt, _T), f32)
+
+    _build_kuf_at_tiles(xt_ref, zt_ref, p_ref, wu_ref, kuf_s, at_s,
+                        kernel=kernel, d=d, M=M, TN=TN, Bt=Bt, dot=dot)
+
+    at_full = at_s[:, 0:M, 0:TN]
+    for ib in range(mb):
+        rows = at_s[:, ib * _T:(ib + 1) * _T, 0:TN]
+        prod = dot(rows, at_full, dimension_numbers=kv_dims)
+        bout_ref[:, ib * _T:(ib + 1) * _T, :] = (
+            bout_ref[:, ib * _T:(ib + 1) * _T, :] + prod * inv_s2)
+    y_row = yt_ref[:][:, None, :]                       # [Bt,1,TN]
+    a_inc = dot(y_row, at_full, dimension_numbers=kv_dims)
+    atout_ref[:] = atout_ref[:] + a_inc[:, 0, :]
+    tr = jnp.sum(jnp.sum(at_full * at_full, axis=1), axis=1)  # [Bt]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _T), 1)
+    st_ref[:] = st_ref[:] + jnp.where(lane1 == 0, tr[:, None], f32(0.0))
+
+
+def _sgpr_stream2_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref, wb_ref,
+                         dd_ref, gout_ref, kuf_s, at_s, *, kernel, d, M, TN):
+    """Grid (G, NT): the uf-side adjoint contractions, accumulated across
+    N-tiles. gout_ref [Bt,128] lanes 1..d = d/dlog ls_j (uf part),
+    lane 6 = d/dlog sf2 (uf part)."""
+    from jax.experimental import pallas as pl
+    f32 = jnp.float32
+    Bt = kuf_s.shape[0]
+    mb = M // _T
+    scale = f32(_KERNELS[kernel])
+    t = pl.program_id(1)
+    # HIGHEST like every Mosaic kernel dot here: Mosaic rejects
+    # Precision.HIGH ("Unsupported dot precision"), so the hybrid's
+    # cheaper bf16x3 gradient passes are not available in-kernel
+    dot = functools.partial(jax.lax.dot_general,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    bmm_t = (((1,), (1,)), ((0,), (0,)))
+    m_t = xt_ref[:, 7, :]
+    zm = zt_ref[:, 7, :]
+    sf2c = p_ref[:, 5:6][:, :, None]
+    sn2 = p_ref[:, 6:7]
+    inv_s2 = (f32(1.0) / sn2)[:, :, None]
+    inv_s4 = inv_s2 * inv_s2
+
+    @pl.when(t == 0)
+    def _init():
+        gout_ref[:] = jnp.zeros((Bt, _T), f32)
+
+    _build_kuf_at_tiles(xt_ref, zt_ref, p_ref, wu_ref, kuf_s, at_s,
+                        kernel=kernel, d=d, M=M, TN=TN, Bt=Bt, dot=dot)
+
+    dd_row = dd_ref[:][:, None, :]                      # [Bt,1,M]
+    at_full = at_s[:, 0:M, 0:TN]
+    ddA = dot(dd_row, at_full, dimension_numbers=bmm)   # [Bt,1,TN]
+    y_row = yt_ref[:][:, None, :]
+    beta_row = y_row * inv_s2 - ddA * inv_s4
+    # t2 = W_B^T A~ overwrites the dead Kuf staging
+    for ib in range(mb):
+        wb_cols = wb_ref[:, 0:M, ib * _T:(ib + 1) * _T]
+        kuf_s[:, ib * _T:(ib + 1) * _T, 0:TN] = dot(
+            wb_cols, at_full, dimension_numbers=bmm_t)
+    # v = A~ - W_B t2 + dd beta^T overwrites A~ row-block-wise
+    for ib in range(mb):
+        binvA = dot(wb_ref[:, ib * _T:(ib + 1) * _T, 0:M],
+                    kuf_s[:, 0:M, 0:TN], dimension_numbers=bmm)
+        dd_ib = jnp.swapaxes(
+            jax.lax.slice_in_dim(dd_row, ib * _T, (ib + 1) * _T,
+                                 axis=2), 1, 2)         # [Bt,T,1]
+        at_s[:, ib * _T:(ib + 1) * _T, 0:TN] = (
+            at_s[:, ib * _T:(ib + 1) * _T, 0:TN] - binvA
+            + dd_ib * beta_row)
+    # Kbar_uf row blocks + gradient reductions. Effect-ordered mailbox in
+    # the dead t2 staging strip: without it the unrolled row-block
+    # iterations interleave and every iteration's [M, TN] loads go live at
+    # once (vreg spills — the ops/pallas_gpr gradient-loop lesson).
+    gls = [jnp.zeros((Bt, 1, 1), f32) for _ in range(d)]
+    gsf2 = jnp.zeros((Bt, 1, 1), f32)
+    kuf_s[:, 0:1, 0:M] = jnp.zeros((Bt, 1, M), f32)
+    for ib in range(mb):
+        r0 = ib * _T
+        mbox = kuf_s[:, 0:1, 0:M]
+        gate = mbox == mbox
+        wu_rows = jnp.where(gate, wu_ref[:, r0:r0 + _T, 0:M], f32(0.0))
+        v_full = at_s[:, 0:M, 0:TN]
+        kbar = -dot(wu_rows, v_full, dimension_numbers=bmm) * inv_s2
+        r2, q2s = _panel_refs(p_ref, zt_ref, r0, xt_ref, 0, TN, d, scale,
+                              Bt)
+        phi = _phi(kernel, r2, f32)
+        F = _phi_grad(kernel, r2, f32)
+        zrow = jax.lax.slice_in_dim(zm, r0, r0 + _T, axis=1)[:, :, None]
+        mm_t = zrow * m_t[:, None, :]
+        red = lambda x: jnp.sum(jnp.sum(x, axis=1, keepdims=True), axis=2,
+                                keepdims=True)
+        gsf2 = gsf2 + red(kbar * (sf2c * phi * mm_t))
+        qf = kbar * (sf2c * F * mm_t)
+        for j in range(d):
+            gls[j] = gls[j] + red(qf * q2s[j])
+        kuf_s[:, 0:1, 0:M] = gsf2[:, :, 0:1] + jnp.zeros((Bt, 1, M), f32)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _T), 1)
+    o = jnp.zeros((Bt, _T), f32)
+    for j in range(d):
+        o = o + jnp.where(lane1 == 1 + j, gls[j][:, 0, :], f32(0.0))
+    o = o + jnp.where(lane1 == 6, gsf2[:, 0, :], f32(0.0))
+    gout_ref[:] = gout_ref[:] + o
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "d", "interpret"))
+def _sgpr_stream1_call(xt, yt, zt, p, wu, *, kernel, d, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp, _, N_pad = xt.shape
+    M = zt.shape[2]
+    TN = min(_TN_MAX, N_pad)
+    NT = N_pad // TN
+    W = max(M, TN)
+    bt = _stream_group_size(M, W)
+    G = Bp // bt
+    kern = functools.partial(_sgpr_stream1_kernel, kernel=kernel, d=d,
+                             M=M, TN=TN)
+    z = np.int32(0)
+    Bsum, at, st = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((Bp, M, M), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, M), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, _T), jnp.float32)),
+        grid=(G, NT),
+        in_specs=[
+            pl.BlockSpec((bt, 8, TN), lambda g, t: (g, z, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, TN), lambda g, t: (g, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8, M), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8), lambda g, t: (g, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, M, M), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((bt, M, M), lambda g, t: (g, z, z),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bt, M), lambda g, t: (g, z),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bt, _T), lambda g, t: (g, z),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((bt, M, W), jnp.float32),
+                        pltpu.VMEM((bt, M, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xt, yt, zt, p, wu)
+    return Bsum, at, st[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "d", "interpret"))
+def _sgpr_stream2_call(xt, yt, zt, p, wu, wb, dd, *, kernel, d,
+                       interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp, _, N_pad = xt.shape
+    M = zt.shape[2]
+    TN = min(_TN_MAX, N_pad)
+    NT = N_pad // TN
+    W = max(M, TN)
+    bt = _stream_group_size(M, W)
+    G = Bp // bt
+    kern = functools.partial(_sgpr_stream2_kernel, kernel=kernel, d=d,
+                             M=M, TN=TN)
+    z = np.int32(0)
+    gout = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Bp, _T), jnp.float32),
+        grid=(G, NT),
+        in_specs=[
+            pl.BlockSpec((bt, 8, TN), lambda g, t: (g, z, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, TN), lambda g, t: (g, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8, M), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8), lambda g, t: (g, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, M, M), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, M, M), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, M), lambda g, t: (g, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, _T), lambda g, t: (g, z),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bt, M, W), jnp.float32),
+                        pltpu.VMEM((bt, M, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xt, yt, zt, p, wu, wb, dd)
+    return gout
 
 
 def _sgpr_vg_kernel(xt_ref, yt_ref, zt_ref, p_ref, out_ref, a_ref, *,
@@ -770,17 +1215,22 @@ def sgpr_vg_batched(params, X, y, maskf, Z, zmaskf, kernel, jitter,
     raw-parameter gradients equal to autodiff through ops/sgpr.neg_elbo
     (f32 tolerance).
 
-    Default path: the *hybrid* — kernel builds, A~, B and all adjoint
-    contractions as XLA batched matmuls (MXU-efficient already), with only
-    the two latency-bound factorisations fused (ops/pallas_cholinv). The
-    monolithic Pallas kernel below computes the same thing entirely in VMEM
-    but its Mosaic compile takes >50 min at the production shape
-    (program-size scaling) — opt in with GPSAT_SGPR_MEGAKERNEL=1.
+    Default path (round 5): the *grid-streamed split* — the two
+    factorisations fused via ops/pallas_cholinv, all N-sized work in two
+    small streamed Pallas programs (see _sgpr_vg_stream), M x M adjoint
+    assembly in XLA. GPSAT_SGPR_STREAM=0 falls back to the round-2
+    *hybrid* (XLA batched matmuls over materialised [B, M, N] arrays);
+    GPSAT_SGPR_MEGAKERNEL=1 opts into the monolithic kernel below, which
+    computes the same thing in one program but Mosaic-compiles for
+    >50 min at the production shape (program-size scaling).
     """
     import os
     if interpret is None:
         interpret = _INTERPRET
     if not os.environ.get("GPSAT_SGPR_MEGAKERNEL"):
+        if os.environ.get("GPSAT_SGPR_STREAM", "1") != "0":
+            return _sgpr_vg_stream(params, X, y, maskf, Z, zmaskf, kernel,
+                                   jitter, interpret)
         return _sgpr_vg_hybrid(params, X, y, maskf, Z, zmaskf, kernel,
                                jitter, interpret)
     B, N, D = X.shape
