@@ -697,6 +697,11 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
     # iteration stores its accumulator there, and the next iteration's
     # panel loads are gated on reading it back via a jnp.where (a NaN
     # accumulator zeroes only its own already-NaN expert's panels).
+    # Q = K^{-1} - alpha alpha^T, dK and the distance panels are all
+    # symmetric in (rb, cb), so only the upper tile pairs run, with the
+    # off-diagonal contributions counted twice — drops the gradient pass
+    # from nb^2 to nb(nb+1)/2 tile iterations (the SGPR mega-kernel's P6
+    # trick, round 5: 16 -> 10 kinv matmuls + panel builds at N=512).
     a_ref[:, 0:1, :N] = jnp.zeros((Bt, 1, N), f32)
     for rb in range(nb):
         r0 = rb * _T
@@ -704,8 +709,9 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
             jax.lax.slice_in_dim(alpha_rowvec, r0, r0 + _T, axis=2),
             1, 2)                                                 # [Bt,T,1]
         m_r = _rows(m, r0)                                        # [Bt,T,1]
-        for cb in range(nb):
+        for cb in range(rb, nb):
             c0 = cb * _T
+            wsym = f32(0.5 if cb == rb else 1.0)
             mbox = a_ref[:, 0:1, :N]                              # [Bt,1,N]
             gate = mbox == mbox
             w_r = jnp.where(gate, a_ref[:, r0:r0 + _T, woff:woff + N],
@@ -726,10 +732,10 @@ def _vg_kernel(xt_ref, yt_ref, p_ref, out_ref, a_ref, *, kernel, d, N):
             phi = _phi(kernel, r2, f32)
             F = _phi_grad(kernel, r2, f32)
             mm = m_r * _lanes(m, c0)
-            gsf2 = gsf2 + f32(0.5) * _reduce11(qp * (sf2_t * phi * mm))
+            gsf2 = gsf2 + wsym * _reduce11(qp * (sf2_t * phi * mm))
             qf = qp * (sf2_t * F * mm)
             for j in range(d):
-                gls[j] = gls[j] + f32(0.5) * _reduce11(qf * q2s[j])
+                gls[j] = gls[j] + wsym * _reduce11(qf * q2s[j])
             if rb == cb:
                 gn = gn + f32(0.5) * _reduce11(qp * diag_tt * m_r)
             a_ref[:, 0:1, :N] = gsf2 + jnp.zeros((Bt, 1, N), f32)
