@@ -343,8 +343,8 @@ def _sgpr_vg_stream(params, X, y, maskf, Z, zmaskf, kernel, jitter,
     W_u, _ = cholinv_batched(Kuu, interpret=interpret)
 
     # ---- streamed inputs (dim-major packed, N padded to a tile grid) -----
-    N_pad = _pad_to(N, _TN_MAX) if N > _TN_MAX else _pad_to(N, _T)
-    TN = min(_TN_MAX, N_pad)
+    N_pad = _pad_to(N, _TN_STREAM) if N > _TN_STREAM else _pad_to(N, _T)
+    TN = min(_TN_STREAM, N_pad)
     W = max(M_pad, TN)
     bt = _stream_group_size(M_pad, W)
     B_pad = int(-(-B // bt) * bt)
@@ -558,12 +558,20 @@ def sgpr_predict_batched(params, X, y, maskf, Z, zmaskf, Xs, kernel,
 # ---------------------------------------------------------------------------
 
 
+# N-tile width for the streamed programs. Narrower than _TN_MAX on
+# purpose: each in-flight loop value is [bt, T, TN] and Mosaic's scheduler
+# keeps several live even with the mailbox chains — TN=1024 at bt=8
+# measured 106 MB of register-spill slots (VMEM OOM); TN=512 fits.
+_TN_STREAM = 512
+
+
 def _stream_group_size(M, W):
     """Experts per grid step for the streamed kernels: per expert two
-    [M, M] factor windows + two [M, W] tile-scratch regions."""
+    [M, M] factor windows + two [M, W] tile-scratch regions, plus slack
+    for double-buffered windows and scheduler spills."""
     per = (2 * M * M + 2 * M * W) * 4
     bt = int(_SGPR_VMEM_BUDGET // per) // 8 * 8
-    return int(min(max(8, bt), 16))
+    return int(min(max(8, bt), 8))
 
 
 def _panel_refs(p_ref, a_ref, r0, b_ref, c0, w, d, scale, Bt):
@@ -604,10 +612,20 @@ def _build_kuf_at_tiles(xt_ref, zt_ref, p_ref, wu_ref, kuf_s, at_s, *,
             + (dep + jnp.zeros((Bt, 1, TN), f32))
         kuf_s[:, r0:r0 + _T, 0:TN] = kuf
         dep = kuf[:, :1, :1] * f32(0.0)
+    # gate each iteration's kuf_s load on the at_s row the previous
+    # iteration wrote: without the read-back the dependence-free row
+    # blocks interleave and every [Bt, M, TN] load goes live at once
+    # (vreg spills — the ops/pallas_gpr gradient-loop lesson)
+    prev = None
     for ib in range(mb):
+        kuf_full = kuf_s[:, 0:M, 0:TN]
+        if prev is not None:
+            g = at_s[:, prev:prev + 1, 0:TN]
+            kuf_full = jnp.where(g == g, kuf_full, f32(0.0))
         wu_cols = wu_ref[:, 0:M, ib * _T:(ib + 1) * _T]
         at_s[:, ib * _T:(ib + 1) * _T, 0:TN] = dot(
-            wu_cols, kuf_s[:, 0:M, 0:TN], dimension_numbers=bmm_t)
+            wu_cols, kuf_full, dimension_numbers=bmm_t)
+        prev = ib * _T
 
 
 def _sgpr_stream1_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref,
@@ -638,12 +656,22 @@ def _sgpr_stream1_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref,
     _build_kuf_at_tiles(xt_ref, zt_ref, p_ref, wu_ref, kuf_s, at_s,
                         kernel=kernel, d=d, M=M, TN=TN, Bt=Bt, dot=dot)
 
-    at_full = at_s[:, 0:M, 0:TN]
+    # B-row accumulation, mailbox-serialised through the dead Kuf staging
+    # (each [Bt, M, TN] at_s load otherwise goes live simultaneously)
+    kuf_s[:, 0:1, 0:TN] = jnp.zeros((Bt, 1, TN), f32)
     for ib in range(mb):
-        rows = at_s[:, ib * _T:(ib + 1) * _T, 0:TN]
+        mbox = kuf_s[:, 0:1, 0:TN]
+        gate = mbox == mbox
+        rows = jnp.where(gate, at_s[:, ib * _T:(ib + 1) * _T, 0:TN],
+                         f32(0.0))
+        at_full = at_s[:, 0:M, 0:TN]
         prod = dot(rows, at_full, dimension_numbers=kv_dims)
         bout_ref[:, ib * _T:(ib + 1) * _T, :] = (
             bout_ref[:, ib * _T:(ib + 1) * _T, :] + prod * inv_s2)
+        kuf_s[:, 0:1, 0:TN] = prod[:, 0:1, 0:1] * f32(0.0) \
+            + jnp.zeros((Bt, 1, TN), f32)
+    mbox = kuf_s[:, 0:1, 0:TN]
+    at_full = jnp.where(mbox == mbox, at_s[:, 0:M, 0:TN], f32(0.0))
     y_row = yt_ref[:][:, None, :]                       # [Bt,1,TN]
     a_inc = dot(y_row, at_full, dimension_numbers=kv_dims)
     atout_ref[:] = atout_ref[:] + a_inc[:, 0, :]
@@ -686,25 +714,40 @@ def _sgpr_stream2_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref, wb_ref,
                         kernel=kernel, d=d, M=M, TN=TN, Bt=Bt, dot=dot)
 
     dd_row = dd_ref[:][:, None, :]                      # [Bt,1,M]
-    at_full = at_s[:, 0:M, 0:TN]
-    ddA = dot(dd_row, at_full, dimension_numbers=bmm)   # [Bt,1,TN]
+    ddA = dot(dd_row, at_s[:, 0:M, 0:TN],
+              dimension_numbers=bmm)                    # [Bt,1,TN]
     y_row = yt_ref[:][:, None, :]
     beta_row = y_row * inv_s2 - ddA * inv_s4
-    # t2 = W_B^T A~ overwrites the dead Kuf staging
+    # t2 = W_B^T A~ overwrites the dead Kuf staging; each iteration's
+    # at_s load is gated on the kuf_s row the previous one wrote
+    # (effect ordering against vreg spills, see _build_kuf_at_tiles)
+    prev = None
     for ib in range(mb):
+        at_full = at_s[:, 0:M, 0:TN]
+        if prev is not None:
+            g = kuf_s[:, prev:prev + 1, 0:TN]
+            at_full = jnp.where(g == g, at_full, f32(0.0))
         wb_cols = wb_ref[:, 0:M, ib * _T:(ib + 1) * _T]
         kuf_s[:, ib * _T:(ib + 1) * _T, 0:TN] = dot(
             wb_cols, at_full, dimension_numbers=bmm_t)
-    # v = A~ - W_B t2 + dd beta^T overwrites A~ row-block-wise
+        prev = ib * _T
+    # v = A~ - W_B t2 + dd beta^T overwrites A~ row-block-wise, the t2
+    # load gated on the previously-written v row
+    prev = None
     for ib in range(mb):
+        t2_full = kuf_s[:, 0:M, 0:TN]
+        if prev is not None:
+            g = at_s[:, prev:prev + 1, 0:TN]
+            t2_full = jnp.where(g == g, t2_full, f32(0.0))
         binvA = dot(wb_ref[:, ib * _T:(ib + 1) * _T, 0:M],
-                    kuf_s[:, 0:M, 0:TN], dimension_numbers=bmm)
+                    t2_full, dimension_numbers=bmm)
         dd_ib = jnp.swapaxes(
             jax.lax.slice_in_dim(dd_row, ib * _T, (ib + 1) * _T,
                                  axis=2), 1, 2)         # [Bt,T,1]
         at_s[:, ib * _T:(ib + 1) * _T, 0:TN] = (
             at_s[:, ib * _T:(ib + 1) * _T, 0:TN] - binvA
             + dd_ib * beta_row)
+        prev = ib * _T
     # Kbar_uf row blocks + gradient reductions. Effect-ordered mailbox in
     # the dead t2 staging strip: without it the unrolled row-block
     # iterations interleave and every iteration's [M, TN] loads go live at
@@ -747,7 +790,7 @@ def _sgpr_stream1_call(xt, yt, zt, p, wu, *, kernel, d, interpret=False):
 
     Bp, _, N_pad = xt.shape
     M = zt.shape[2]
-    TN = min(_TN_MAX, N_pad)
+    TN = min(_TN_STREAM, N_pad)
     NT = N_pad // TN
     W = max(M, TN)
     bt = _stream_group_size(M, W)
@@ -795,7 +838,7 @@ def _sgpr_stream2_call(xt, yt, zt, p, wu, wb, dd, *, kernel, d,
 
     Bp, _, N_pad = xt.shape
     M = zt.shape[2]
-    TN = min(_TN_MAX, N_pad)
+    TN = min(_TN_STREAM, N_pad)
     NT = N_pad // TN
     W = max(M, TN)
     bt = _stream_group_size(M, W)
