@@ -399,6 +399,11 @@ def _sgpr_vg_stream(params, X, y, maskf, Z, zmaskf, kernel, jitter,
         + (e[:, :, None] * e[:, None, :]) / (s2 * s2)[:, None, None])
     QP_uu = Kbar_uu * (sf2c * phi_uu * zmm)
     QF_uu = Kbar_uu * (sf2c * _phi_grad(kernel, r2_uu, f32) * zmm)
+    # P = I - B^{-1} for the streamed uf program, in the product form
+    # B^{-1} S (S = A~A~^T/s2 = Bsum from stream1): eigenvalues in [0,1),
+    # O(1) entries — no I - W_BW_B^T subtraction anywhere
+    T1 = jnp.einsum("bkm,bkn->bmn", W_B, Bsum, precision=gp)
+    Pmat = jnp.einsum("bmk,bkn->bmn", W_B, T1, precision=gp)
 
     def q2_contract(QF, Aj, Bj):
         # elementwise, not the rank-1 expansion — see _sgpr_vg_hybrid note
@@ -408,9 +413,9 @@ def _sgpr_vg_stream(params, X, y, maskf, Z, zmaskf, kernel, jitter,
     # ---- uf-side contractions (streamed program 2) -----------------------
     dd_in = dd if B_pad == B else jnp.concatenate(
         [dd, jnp.zeros((B_pad - B, M_pad), f32)], axis=0)
-    wb_in = W_B if B_pad == B else jnp.concatenate(
-        [W_B, jnp.broadcast_to(eyeM, (B_pad - B, M_pad, M_pad))], axis=0)
-    gout = _sgpr_stream2_call(xt, yt, zt, p, wu_in, wb_in, dd_in,
+    p_in = Pmat if B_pad == B else jnp.concatenate(
+        [Pmat, jnp.zeros((B_pad - B, M_pad, M_pad), f32)], axis=0)
+    gout = _sgpr_stream2_call(xt, yt, zt, p, wu_in, p_in, dd_in,
                               kernel=kernel, d=D, interpret=interpret)[:B]
 
     g_logsf2 = (jnp.sum(QP_uu, axis=(1, 2)) + gout[:, 6]
@@ -680,25 +685,37 @@ def _sgpr_stream1_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref,
     st_ref[:] = st_ref[:] + jnp.where(lane1 == 0, tr[:, None], f32(0.0))
 
 
-def _sgpr_stream2_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref, wb_ref,
+def _sgpr_stream2_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref, pmat_ref,
                          dd_ref, gout_ref, kuf_s, at_s, *, kernel, d, M, TN):
     """Grid (G, NT): the uf-side adjoint contractions, accumulated across
     N-tiles. gout_ref [Bt,128] lanes 1..d = d/dlog ls_j (uf part),
-    lane 6 = d/dlog sf2 (uf part)."""
+    lane 6 = d/dlog sf2 (uf part).
+
+    Uses P = I - B^{-1}, precomputed by the caller in the product form
+    B^{-1} S (S = A~A~^T/s2 from stream1; eigenvalues of P lie in [0,1),
+    entries O(1)):
+
+      v       = P A~ + dd beta^T
+      Kbar_uf = -s^{-2} W_u v
+      beta    = ybar/s^2 - (A~^T dd)/s^4
+
+    Three matmul sets per tile (A~ rebuild, P A~, W_u v) instead of the
+    first cut's four — that version recomputed the hybrid's full W_B
+    chain in-kernel at Mosaic's forced-HIGHEST precision and LOST to the
+    hybrid (pool 2.51 s vs 2.33 s at the bench profile). A further fold
+    to ONE matmul set (D = W_u P W_u^T applied to Kuf directly) was
+    measured at 1-4% gradient error on ill-conditioned Kuu — the
+    W_u^T Kuf contraction must happen first."""
     from jax.experimental import pallas as pl
     f32 = jnp.float32
     Bt = kuf_s.shape[0]
     mb = M // _T
     scale = f32(_KERNELS[kernel])
     t = pl.program_id(1)
-    # HIGHEST like every Mosaic kernel dot here: Mosaic rejects
-    # Precision.HIGH ("Unsupported dot precision"), so the hybrid's
-    # cheaper bf16x3 gradient passes are not available in-kernel
     dot = functools.partial(jax.lax.dot_general,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=f32)
     bmm = (((2,), (1,)), ((0,), (0,)))
-    bmm_t = (((1,), (1,)), ((0,), (0,)))
     m_t = xt_ref[:, 7, :]
     zm = zt_ref[:, 7, :]
     sf2c = p_ref[:, 5:6][:, :, None]
@@ -718,50 +735,34 @@ def _sgpr_stream2_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref, wb_ref,
               dimension_numbers=bmm)                    # [Bt,1,TN]
     y_row = yt_ref[:][:, None, :]
     beta_row = y_row * inv_s2 - ddA * inv_s4
-    # t2 = W_B^T A~ overwrites the dead Kuf staging; each iteration's
-    # at_s load is gated on the kuf_s row the previous one wrote
-    # (effect ordering against vreg spills, see _build_kuf_at_tiles)
+    # v = P A~ + dd beta^T into the dead Kuf staging; each iteration's
+    # at_s load gated on the kuf_s row the previous one wrote
     prev = None
     for ib in range(mb):
         at_full = at_s[:, 0:M, 0:TN]
         if prev is not None:
             g = kuf_s[:, prev:prev + 1, 0:TN]
             at_full = jnp.where(g == g, at_full, f32(0.0))
-        wb_cols = wb_ref[:, 0:M, ib * _T:(ib + 1) * _T]
-        kuf_s[:, ib * _T:(ib + 1) * _T, 0:TN] = dot(
-            wb_cols, at_full, dimension_numbers=bmm_t)
-        prev = ib * _T
-    # v = A~ - W_B t2 + dd beta^T overwrites A~ row-block-wise, the t2
-    # load gated on the previously-written v row
-    prev = None
-    for ib in range(mb):
-        t2_full = kuf_s[:, 0:M, 0:TN]
-        if prev is not None:
-            g = at_s[:, prev:prev + 1, 0:TN]
-            t2_full = jnp.where(g == g, t2_full, f32(0.0))
-        binvA = dot(wb_ref[:, ib * _T:(ib + 1) * _T, 0:M],
-                    t2_full, dimension_numbers=bmm)
         dd_ib = jnp.swapaxes(
             jax.lax.slice_in_dim(dd_row, ib * _T, (ib + 1) * _T,
                                  axis=2), 1, 2)         # [Bt,T,1]
-        at_s[:, ib * _T:(ib + 1) * _T, 0:TN] = (
-            at_s[:, ib * _T:(ib + 1) * _T, 0:TN] - binvA
+        kuf_s[:, ib * _T:(ib + 1) * _T, 0:TN] = (
+            dot(pmat_ref[:, ib * _T:(ib + 1) * _T, 0:M],
+                at_full, dimension_numbers=bmm)
             + dd_ib * beta_row)
         prev = ib * _T
-    # Kbar_uf row blocks + gradient reductions. Effect-ordered mailbox in
-    # the dead t2 staging strip: without it the unrolled row-block
-    # iterations interleave and every iteration's [M, TN] loads go live at
-    # once (vreg spills — the ops/pallas_gpr gradient-loop lesson).
+    # Kbar_uf row blocks + gradient reductions, mailbox-serialised in the
+    # dead A~ staging (v lives in kuf_s and is every iteration's input)
     gls = [jnp.zeros((Bt, 1, 1), f32) for _ in range(d)]
     gsf2 = jnp.zeros((Bt, 1, 1), f32)
-    kuf_s[:, 0:1, 0:M] = jnp.zeros((Bt, 1, M), f32)
+    at_s[:, 0:1, 0:M] = jnp.zeros((Bt, 1, M), f32)
     for ib in range(mb):
         r0 = ib * _T
-        mbox = kuf_s[:, 0:1, 0:M]
+        mbox = at_s[:, 0:1, 0:M]
         gate = mbox == mbox
         wu_rows = jnp.where(gate, wu_ref[:, r0:r0 + _T, 0:M], f32(0.0))
-        v_full = at_s[:, 0:M, 0:TN]
-        kbar = -dot(wu_rows, v_full, dimension_numbers=bmm) * inv_s2
+        kbar = -dot(wu_rows, kuf_s[:, 0:M, 0:TN],
+                    dimension_numbers=bmm) * inv_s2
         r2, q2s = _panel_refs(p_ref, zt_ref, r0, xt_ref, 0, TN, d, scale,
                               Bt)
         phi = _phi(kernel, r2, f32)
@@ -774,7 +775,7 @@ def _sgpr_stream2_kernel(xt_ref, yt_ref, zt_ref, p_ref, wu_ref, wb_ref,
         qf = kbar * (sf2c * F * mm_t)
         for j in range(d):
             gls[j] = gls[j] + red(qf * q2s[j])
-        kuf_s[:, 0:1, 0:M] = gsf2[:, :, 0:1] + jnp.zeros((Bt, 1, M), f32)
+        at_s[:, 0:1, 0:M] = gsf2[:, :, 0:1] + jnp.zeros((Bt, 1, M), f32)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _T), 1)
     o = jnp.zeros((Bt, _T), f32)
     for j in range(d):
@@ -831,7 +832,7 @@ def _sgpr_stream1_call(xt, yt, zt, p, wu, *, kernel, d, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "d", "interpret"))
-def _sgpr_stream2_call(xt, yt, zt, p, wu, wb, dd, *, kernel, d,
+def _sgpr_stream2_call(xt, yt, zt, p, wu, pmat, dd, *, kernel, d,
                        interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -872,7 +873,7 @@ def _sgpr_stream2_call(xt, yt, zt, p, wu, wb, dd, *, kernel, d,
                         pltpu.VMEM((bt, M, W), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xt, yt, zt, p, wu, wb, dd)
+    )(xt, yt, zt, p, wu, pmat, dd)
     return gout
 
 

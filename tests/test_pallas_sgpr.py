@@ -245,20 +245,20 @@ def test_sgpr_pool_mesh_matches_single_device():
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device (CPU) mesh")
 
-    B, N, D, M = 36, 64, 2, 24      # > slots * n_devices => pool path
+    B, N, D, M = 18, 64, 2, 24      # > slots * n_devices => pool path
     rng = np.random.default_rng(11)
     X = rng.uniform(-3, 3, (B, N, D))
     y = np.sin(X[..., 0]) + 0.1 * rng.standard_normal((B, N))
     y = y - y.mean(axis=1, keepdims=True)
     mask = np.ones((B, N), dtype=bool)
     mask[2, 50:] = False
-    mask[20, 40:] = False
+    mask[13, 40:] = False
     Xs = np.tile(np.linspace(-2, 2, 5)[None, :, None], (B, 1, D))
 
     def run(mesh):
         eng = BatchedSGPR(coords_dim=D, kernel="Matern32",
                           num_inducing_points=M,
-                          optim_kwargs={"max_iter": 200},
+                          optim_kwargs={"max_iter": 80},
                           dtype=jnp.float64)
         return eng.fit_predict_many(X, y, mask, Xs=Xs, optimise=True,
                                     predict=True, slots=2, mesh=mesh)
@@ -282,7 +282,7 @@ def test_gpr_pool_mesh_matches_single_device():
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device (CPU) mesh")
 
-    B, N, D = 35, 48, 2    # > slots * n_devices AND not a mesh multiple
+    B, N, D = 19, 48, 2    # > slots * n_devices AND not a mesh multiple
     rng = np.random.default_rng(13)
     X = rng.uniform(-3, 3, (B, N, D))
     y = np.sin(X[..., 0]) + 0.1 * rng.standard_normal((B, N))
@@ -292,7 +292,7 @@ def test_gpr_pool_mesh_matches_single_device():
 
     def run(mesh):
         eng = BatchedGPR(coords_dim=D, kernel="Matern32",
-                         optim_kwargs={"max_iter": 200},
+                         optim_kwargs={"max_iter": 80},
                          dtype=jnp.float64)
         return eng.fit_predict_many(X, y, mask, Xs=Xs, optimise=True,
                                     predict=True, slots=2, mesh=mesh)
