@@ -447,7 +447,29 @@ def _pool_core(fun, x0_all, args_all, slots, max_iter, gtol, ftol,
     m = memory_size
 
     def gather(ids):
-        return jax.tree.map(lambda a: a[ids], args_all)
+        """Per-slot arg rows for this iteration's objective call.
+
+        Float leaves ride a one-hot [B, E] matmul over the flattened
+        [E, K] arg instead of advanced indexing: a traced-index row gather
+        scalarises on TPU (~1 GB/s measured — ~8 ms of every SGPR pool
+        iteration at the production profile, where the per-slot args are
+        ~4 MB), while the MXU product is exact (one unit coefficient per
+        output row; requires finite arg values — 0 * inf would poison the
+        row, and padded rows are zero-filled by the scheduler). Non-float
+        leaves (masks, ints) stay on the indexing path: they are small.
+        """
+        oh = ids[:, None] == jnp.arange(E, dtype=ids.dtype)[None, :]
+
+        def one(a):
+            if jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 1 \
+                    and a.shape[0] == E:
+                flat = a.reshape(E, -1)
+                out = jax.lax.dot(oh.astype(a.dtype), flat,
+                                  precision=jax.lax.Precision.HIGHEST)
+                return out.reshape(ids.shape[:1] + a.shape[1:])
+            return a[ids]
+
+        return jax.tree.map(one, args_all)
 
     def vg_at(ids):
         if vg_fun is not None:

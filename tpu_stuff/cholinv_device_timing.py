@@ -28,12 +28,14 @@ def probe(seed):
 
 
 seeds = [jnp.float32(k) for k in range(14)]
-probe(seeds[12]).block_until_ready()
-probe(seeds[13]).block_until_ready()
+# np.asarray, not block_until_ready: on this tunnel block_until_ready
+# does not force the round trip (sgpr_eval_timing.py lesson) — enqueue the
+# chain, then materialise the LAST scalar (executions are ordered)
+np.asarray(probe(seeds[12]))
+np.asarray(probe(seeds[13]))
 t0 = time.perf_counter()
 outs = [probe(seeds[k]) for k in range(12)]
-for o in outs:
-    o.block_until_ready()
+np.asarray(outs[-1])
 dt = (time.perf_counter() - t0) / 12
 print(f"cholinv device-true: {dt*1e3:.2f} ms/call (B={B}, M={Mp})",
       flush=True)
