@@ -1259,20 +1259,26 @@ def sgpr_vg_batched(params, X, y, maskf, Z, zmaskf, kernel, jitter,
     raw-parameter gradients equal to autodiff through ops/sgpr.neg_elbo
     (f32 tolerance).
 
-    Default path (round 5): the *grid-streamed split* — the two
-    factorisations fused via ops/pallas_cholinv, all N-sized work in two
-    small streamed Pallas programs (see _sgpr_vg_stream), M x M adjoint
-    assembly in XLA. GPSAT_SGPR_STREAM=0 falls back to the round-2
-    *hybrid* (XLA batched matmuls over materialised [B, M, N] arrays);
-    GPSAT_SGPR_MEGAKERNEL=1 opts into the monolithic kernel below, which
-    computes the same thing in one program but Mosaic-compiles for
-    >50 min at the production shape (program-size scaling).
+    Default path: the round-2 *hybrid* — kernel builds, A~, B and all
+    adjoint contractions as XLA batched matmuls, with only the two
+    latency-bound factorisations fused (ops/pallas_cholinv). Round 5
+    re-measured this with device-true probes (sgpr_vg_device_timing.py):
+    the hybrid vg is 10.7 ms at the bench profile of which the two
+    cholinv calls are 7.7 ms — XLA streams the [B, M, N] einsum chain at
+    ~3 ms, so fusing it was never the lever. The grid-streamed split
+    (GPSAT_SGPR_STREAM=1, _sgpr_vg_stream) replaces those einsums with
+    two small Pallas programs and measured 13.3 ms device-true /
+    2.51 s vs 2.29 s pool optimise-only — Mosaic's forced-HIGHEST dot
+    precision and tile re-builds cost more than the HBM traffic it
+    saves. Kept as a documented negative result + test-covered opt-in.
+    GPSAT_SGPR_MEGAKERNEL=1 opts into the monolithic kernel below
+    (Mosaic-compiles >50 min at the production shape).
     """
     import os
     if interpret is None:
         interpret = _INTERPRET
     if not os.environ.get("GPSAT_SGPR_MEGAKERNEL"):
-        if os.environ.get("GPSAT_SGPR_STREAM", "1") != "0":
+        if os.environ.get("GPSAT_SGPR_STREAM", "0") != "0":
             return _sgpr_vg_stream(params, X, y, maskf, Z, zmaskf, kernel,
                                    jitter, interpret)
         return _sgpr_vg_hybrid(params, X, y, maskf, Z, zmaskf, kernel,

@@ -68,13 +68,13 @@ def test_sgpr_vg_matches_autodiff(kernel):
             rtol=5e-3, atol=5e-3, err_msg=f"{kernel}/{k}")
 
 
-def test_sgpr_vg_hybrid_fallback_matches_autodiff(monkeypatch):
-    """GPSAT_SGPR_STREAM=0 selects the round-2 hybrid (XLA matmuls over
-    materialised [B,M,N] arrays) — kept as the fallback path and pinned
-    against autodiff like the default grid-streamed split."""
+def test_sgpr_vg_stream_optin_matches_autodiff(monkeypatch):
+    """GPSAT_SGPR_STREAM=1 selects the grid-streamed split (a measured
+    negative result on TPU — device-true 13.3 ms vs the hybrid's 10.7 at
+    the bench profile — kept as a tested opt-in; see sgpr_vg_batched)."""
     from gpsat_tpu.ops.pallas_sgpr import sgpr_vg_batched
 
-    monkeypatch.setenv("GPSAT_SGPR_STREAM", "0")
+    monkeypatch.setenv("GPSAT_SGPR_STREAM", "1")
     X, y, mask, Z, zmask, params = make_case(seed=5)
     val, grads = sgpr_vg_batched(
         {k: jnp.asarray(v, jnp.float32) for k, v in params.items()},
@@ -90,13 +90,14 @@ def test_sgpr_vg_hybrid_fallback_matches_autodiff(monkeypatch):
             rtol=5e-3, atol=5e-3, err_msg=k)
 
 
-def test_sgpr_vg_multitile_streaming():
-    """N > TN exercises the multi-tile streamed accumulation path (nt > 1)
-    and M spanning several 128-tiles."""
+def test_sgpr_vg_multitile_streaming(monkeypatch):
+    """N > TN exercises the stream path's multi-tile grid accumulation
+    (NT > 1) and M spanning several 128-tiles."""
     from gpsat_tpu.ops import pallas_sgpr
     from gpsat_tpu.ops.pallas_sgpr import sgpr_vg_batched
 
-    assert pallas_sgpr._TN_MAX <= 1024  # keep this test on the nt>1 path
+    monkeypatch.setenv("GPSAT_SGPR_STREAM", "1")
+    assert pallas_sgpr._TN_STREAM <= 1024  # keep this test on the NT>1 path
     X, y, mask, Z, zmask, params = make_case(B=3, N=1100, M=260, D=2, seed=3)
     val, grads = sgpr_vg_batched(
         {k: jnp.asarray(v, jnp.float32) for k, v in params.items()},
@@ -209,7 +210,7 @@ def test_sgpr_pool_vg_wiring(monkeypatch):
     def run():
         eng = BatchedSGPR(coords_dim=D, kernel="Matern32",
                           num_inducing_points=M,
-                          optim_kwargs={"max_iter": 300},
+                          optim_kwargs={"max_iter": 150},
                           dtype=jnp.float32)
         return eng.fit_predict_many(X, y, mask, Xs=Xs, optimise=True,
                                     predict=True, slots=3)
