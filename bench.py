@@ -524,9 +524,14 @@ def run_mode(model="gpr", measure_baseline=True):
     B = min(E, auto_batch_size(N, P))
     if model == "sgpr" or model == "svgp":
         # dominant buffers are [B, M, N]; round down to a multiple of 16 so
-        # pool slot batches tile the cholinv kernel's expert groups exactly
-        # (a 33-slot pool pads to 48 => one wasted grid step per call)
-        B = min(E, max(1, 2**25 // (M * N)))
+        # pool slot batches tile the cholinv kernel's expert groups exactly.
+        # Budget 3*2^24 elements (201 MB/temporary at the production shape):
+        # the round-5 slot sweep measured 48 slots fastest — per-iteration
+        # cost has a large B-independent component (~7 ms: cholinv latency
+        # + pool fixed work), so wider pools amortise it (32: 2.23 s,
+        # 48: 1.95 s, 64: 2.31 s optimise+predict at E=128 — 64 pays an
+        # extra cholinv grid step per call and loses the gain)
+        B = min(E, max(1, (3 * 2**24) // (M * N)))
         if B >= 16:
             B -= B % 16
     elif model == "vff":
