@@ -63,68 +63,79 @@ def cholinv_supported(M=None):
     return True
 
 
-def _group_size(M):
-    # per expert: [M, M+T] scratch (A->U | diag-block strip) + double-
-    # buffered in/out windows (A in + W out, 2 buffering levels each)
-    # = (5*M^2 + T*M) * 4 bytes. W lives in the OUTPUT window (read back
-    # by the off-diagonal recurrence), which freed M-T scratch lanes per
-    # row and doubled experts-per-grid-step at M=512 (8 -> 16): the
-    # kernel's dominant cost is the number of sequential column-loop
-    # passes, one per grid step.
-    per = (5 * M * M + _T * M) * 4
-    bt = int(_CHOLINV_VMEM_BUDGET // per) // 8 * 8
+def _group_size(M, B=None):
+    """Experts per grid step. The kernel's dominant cost is the number of
+    sequential column-loop passes — ONE per grid step — so the widest
+    group that fits VMEM wins. Round 5 re-layout: A factors IN PLACE in
+    the input window (mutations are discarded by pallas) and scratch
+    keeps only the [M, T] per-panel W_kk strip, so per-expert VMEM is
+    in M^2 + out M^2 + strip TM. When the whole batch fits one grid step
+    (G=1) the windows are single-buffered and bt=32 at M=512 fits
+    (~89 MB measured); at G>1 both windows double-buffer."""
+    if B is not None:
+        bt1 = int(min(32, -(-int(B) // 8) * 8))
+        if bt1 >= B and bt1 * (2 * M * M + _T * M) * 4 <= 100 * 2**20:
+            return bt1
+    per = (4 * M * M + _T * M) * 4
+    bt = int((110 * 2**20) // per) // 8 * 8
     return int(min(max(8, bt), 24))
 
 
-def _cholinv_kernel(a_in_ref, w_ref, ld_ref, a_ref, *, M):
-    """One grid step: Bt experts. a_in_ref [Bt,M,M] masked SPD input;
-    w_ref [Bt,M,M] output, used as working storage for W (output windows
-    are plain VMEM during a grid step); ld_ref [Bt,128] (lane 0 = sum log
-    diag U); a_ref [Bt,M,M+T] scratch (A->U | per-panel W diag strip —
-    _factor_tile_and_invert writes W_kk at rows [kb*T,(kb+1)*T) of the
-    trailing T lanes, a distinct row range per panel, so the strip never
-    needs re-zeroing)."""
+def _cholinv_kernel(a_in_ref, w_ref, ld_ref, strip_ref, *, M):
+    """One grid step: Bt experts. a_in_ref [Bt,M,M] masked SPD input,
+    factored to U IN PLACE (input-window mutations are discarded by
+    pallas — this buys a whole [M, M] of scratch per expert, which buys
+    the grid steps: the kernel's cost is one serial column-loop chain per
+    step); w_ref [Bt,M,M] output, used as working storage for W (output
+    windows are plain VMEM during a grid step); ld_ref [Bt,128] (lane 0 =
+    sum log diag U); strip_ref [Bt,M,T] scratch (per-panel W_kk diag
+    strip — _factor_tile_and_invert writes W_kk at rows
+    [kb*T,(kb+1)*T), a distinct row range per panel, so the strip never
+    needs re-zeroing after the initial pass)."""
     f32 = jnp.float32
-    Bt = a_ref.shape[0]
+    Bt = strip_ref.shape[0]
     mb = M // _T
-    woff = M                      # strip offset (trailing T scratch lanes)
     dot = functools.partial(jax.lax.dot_general,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=f32)
     bmm = (((2,), (1,)), ((0,), (0,)))
     bmm_t = (((1,), (1,)), ((0,), (0,)))
 
-    # copy input; zero the strip and the W output (masked recurrences and
-    # the final product must read zeros, not uninitialised NaNs)
+    # zero the strip and the W output (masked recurrences and the final
+    # product must read zeros, not uninitialised NaNs); dep-chained so the
+    # row-panel stores do not interleave
     dep = jnp.zeros((Bt, 1, 1), f32)
     for rb in range(mb):
         r0 = rb * _T
-        tile = a_in_ref[:, r0:r0 + _T, :] + jnp.zeros((Bt, _T, M), f32) \
-            + (dep + jnp.zeros((Bt, 1, M), f32))
-        a_ref[:, r0:r0 + _T, 0:M] = tile
-        a_ref[:, r0:r0 + _T, woff:] = jnp.zeros((Bt, _T, _T), f32)
-        w_ref[:, r0:r0 + _T, :] = jnp.zeros((Bt, _T, M), f32)
-        dep = tile[:, :1, :1] * f32(0.0)
+        z = jnp.zeros((Bt, _T, M), f32) + (dep + jnp.zeros((Bt, 1, M), f32))
+        w_ref[:, r0:r0 + _T, :] = z
+        strip_ref[:, r0:r0 + _T, :] = z[:, :, 0:_T]
+        dep = z[:, :1, :1]
 
     ld = jnp.zeros((Bt, 1, 1), f32)
+    # gate the first factor read on the zeroing pass (same-ref writes
+    # order naturally; the strip/W zeroing must land first)
+    mbox = w_ref[:, 0:1, 0:M]
+    ld = ld + jnp.sum(mbox, axis=2, keepdims=True) * f32(0.0)
     for kb in range(mb):
         base = kb * _T
-        ld = _factor_tile_and_invert(a_ref, base, woff, ld, Bt, rbase=base)
-        wkk = a_ref[:, base:base + _T, woff:woff + _T]
+        ld = _factor_tile_and_invert(a_in_ref, base, 0, ld, Bt,
+                                     rbase=base, w_ref=strip_ref)
+        wkk = strip_ref[:, base:base + _T, 0:_T]
         w_ref[:, base:base + _T, base:base + _T] = wkk
         if base + _T < M:
-            arest = a_ref[:, base:base + _T, base + _T:M]
-            a_ref[:, base:base + _T, base + _T:M] = \
+            arest = a_in_ref[:, base:base + _T, base + _T:M]
+            a_in_ref[:, base:base + _T, base + _T:M] = \
                 dot(wkk, arest, dimension_numbers=bmm_t)
         for ib in range(kb + 1, mb):
-            u_ki = a_ref[:, base:base + _T, ib * _T:(ib + 1) * _T]
-            u_krest = a_ref[:, base:base + _T, ib * _T:M]
+            u_ki = a_in_ref[:, base:base + _T, ib * _T:(ib + 1) * _T]
+            u_krest = a_in_ref[:, base:base + _T, ib * _T:M]
             g = dot(u_ki, u_krest, dimension_numbers=bmm_t)
-            a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] = (
-                a_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] - g)
+            a_in_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] = (
+                a_in_ref[:, ib * _T:(ib + 1) * _T, ib * _T:M] - g)
 
     # W off-diagonal blocks: W_ij = -W_ii sum_{i<k<=j} U_ik W_kj
-    # (U from scratch, W blocks read/written in the output window)
+    # (U from the input window, W blocks read/written in the output window)
     dep_w = jnp.zeros((Bt, 1, 1), f32)
     for jb in range(mb):
         wj = jb * _T
@@ -132,8 +143,8 @@ def _cholinv_kernel(a_in_ref, w_ref, ld_ref, a_ref, *, M):
             acc = jnp.zeros((Bt, _T, _T), f32) \
                 + (dep_w + jnp.zeros((Bt, 1, _T), f32))
             for k2 in range(i + 1, jb + 1):
-                u_ik = a_ref[:, i * _T:(i + 1) * _T,
-                             k2 * _T:(k2 + 1) * _T]
+                u_ik = a_in_ref[:, i * _T:(i + 1) * _T,
+                                k2 * _T:(k2 + 1) * _T]
                 w_kj = w_ref[:, k2 * _T:(k2 + 1) * _T, wj:wj + _T]
                 acc = acc + dot(u_ik, w_kj, dimension_numbers=bmm)
             w_ii = w_ref[:, i * _T:(i + 1) * _T, i * _T:(i + 1) * _T]
@@ -151,7 +162,7 @@ def _cholinv_call(A, *, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     Bp, M, _ = A.shape
-    bt = _group_size(M)
+    bt = _group_size(M, Bp)
     G = Bp // bt
     kern = functools.partial(_cholinv_kernel, M=M)
     z = np.int32(0)
@@ -166,7 +177,7 @@ def _cholinv_call(A, *, interpret=False):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((bt, _T), lambda i: (i, z),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((bt, M, M + _T), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, M, _T), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(A)
@@ -194,7 +205,7 @@ def cholinv_batched(A, interpret=None):
         ld = jnp.sum(jnp.log(jnp.diagonal(U, axis1=1, axis2=2)), axis=1)
         return W, ld
 
-    bt = _group_size(M)
+    bt = _group_size(M, B)
     B_pad = int(-(-B // bt) * bt)
     if B_pad != B:
         pad_eye = jnp.broadcast_to(jnp.eye(M, dtype=jnp.float32),

@@ -154,12 +154,16 @@ def _group_size(N):
     return int(min(bt, _MAX_GROUP))
 
 
-def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
+def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None,
+                            w_ref=None):
     """Factor the TxT diagonal tile of A (rows [rbase, rbase+T), lanes
     [base, base+T); rbase defaults to base for matrices stored at lane
     offset 0) in place to its upper Cholesky factor U_kk, and write
-    W = U_kk^{-1} at lanes [winv, winv+T). Returns the updated logdet
-    [Bt,1,1] accumulator.
+    W = U_kk^{-1} at lanes [winv, winv+T) of `w_ref` (defaults to a_ref:
+    the factor workspace and the inverse strip may live in separate refs,
+    e.g. the cholinv kernel factors in its INPUT window and keeps only a
+    [Bt, M, T] strip in scratch). Returns the updated logdet [Bt,1,1]
+    accumulator.
 
     Structure (every sequential step is as light as possible; bulk work on
     the MXU):
@@ -180,6 +184,7 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
     diagonal.
     """
     rb0 = base if rbase is None else rbase
+    wr = a_ref if w_ref is None else w_ref
     f32 = jnp.float32
     dot = functools.partial(jax.lax.dot_general,
                             precision=jax.lax.Precision.HIGHEST,
@@ -202,39 +207,94 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
     lane_mod = jax.lax.rem(lane_t, eight)
     sub_mod = jax.lax.rem(sub_t, eight)
 
+    # per-slab masks at P granularity (the round-5 restructure: the column
+    # loop factors only the [Bt,P,P] DIAGONAL block as a fori carry — the
+    # original swept the whole [Bt,P,T] slab per column, and the loop is
+    # VPU-throughput-bound, measured: bt=32 single-grid-step cholinv ran
+    # no faster than 2x bt=16 steps. The slab's trailing lanes are then
+    # one MXU trsm against the block inverse, which the leaf machinery
+    # below already knows how to build at 8-granularity.)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _P), 2)
+    sub_pp = jax.lax.broadcasted_iota(jnp.int32, (1, _P, 1), 1)
+    diag_pp = jnp.where(lane_p == sub_pp, f32(1.0), f32(0.0))
+    sub_blk8 = jax.lax.div(sub_pp, eight)
+    lane_blk8 = jax.lax.div(lane_p, eight)
+    same_leaf8 = sub_blk8 == lane_blk8
+    lane_mod8 = jax.lax.rem(lane_p, eight)
+    sub_mod8 = jax.lax.rem(sub_pp, eight)
+
     for pb in range(_T // _P):
         p0 = pb * _P
+        blk0 = a_ref[:, rb0 + p0:rb0 + p0 + _P,
+                     base + p0:base + p0 + _P]           # [Bt,P,P]
 
-        def col_step(jl, logdet, p0=p0):
-            j = p0 + jl                                  # tile-local col
-            slab = a_ref[:, rb0 + p0:rb0 + p0 + _P,
-                         base:base + _T]                 # [Bt,P,T]
-            rowmask = sub_p == jl
-            row = jnp.sum(jnp.where(rowmask, slab, f32(0.0)),
-                          axis=1, keepdims=True)         # [Bt,1,T]
-            piv2 = jnp.sum(jnp.where(lane_t == j, row, f32(0.0)),
+        def colp(jl, carry):
+            blk, ld = carry
+            rowmask = sub_pp == jl
+            row = jnp.sum(jnp.where(rowmask, blk, f32(0.0)),
+                          axis=1, keepdims=True)         # [Bt,1,P]
+            piv2 = jnp.sum(jnp.where(lane_p == jl, row, f32(0.0)),
                            axis=2, keepdims=True)
             piv = jnp.sqrt(piv2)
-            u = (row / piv) * jnp.where(lane_t >= j, f32(1.0), f32(0.0))
-            u_p = jax.lax.slice_in_dim(u, p0, p0 + _P, axis=2)
-            coef = jnp.swapaxes(u_p, 1, 2)               # [Bt,P,1]
-            rmask = jnp.where(sub_p > jl, f32(1.0), f32(0.0))
-            updated = slab - (coef * rmask) * u
-            a_ref[:, rb0 + p0:rb0 + p0 + _P, base:base + _T] = \
-                jnp.where(rowmask,
-                          u + jnp.zeros((Bt, _P, _T), f32), updated)
-            return logdet + jnp.log(piv)
+            u = (row / piv) * jnp.where(lane_p >= jl, f32(1.0), f32(0.0))
+            coef = jnp.swapaxes(u, 1, 2)                 # [Bt,P,1]
+            rmask = jnp.where(sub_pp > jl, f32(1.0), f32(0.0))
+            blk = jnp.where(rowmask, u + jnp.zeros((Bt, _P, _P), f32),
+                            blk - (coef * rmask) * u)
+            return blk, ld + jnp.log(piv)
 
-        logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_P),
-                                   col_step, logdet)
+        blk, logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_P),
+                                        colp, (blk0, logdet))
 
+        # W_PP = U_PP^{-1}: parallel 8x8 leaf inverses + bottom-up block
+        # combine + one Newton polish (same scheme as the T-tile inverse)
+        uii = jnp.sum(jnp.where(diag_pp > 0, blk, f32(0.0)),
+                      axis=2, keepdims=True)             # [Bt,P,1]
+
+        def leafp(t, wd):
+            il = jnp.int32(7) - t
+            rowsel = sub_mod8 == il
+            umask = rowsel & same_leaf8 & (lane_mod8 > il)
+            s = dot(jnp.where(umask, blk, f32(0.0)), wd,
+                    dimension_numbers=bmm)
+            wnew = (diag_pp - s) / uii
+            return jnp.where(rowsel, wnew, wd)
+
+        wd = jax.lax.fori_loop(jnp.int32(0), jnp.int32(8), leafp,
+                               jnp.zeros((Bt, _P, _P), f32))
+
+        def blkp(t, wd):
+            i = jnp.int32(_P // 8 - 1) - t
+            rowsel = sub_blk8 == i
+            fmask = rowsel & (lane_blk8 > i)
+            s = dot(jnp.where(fmask, blk, f32(0.0)), wd,
+                    dimension_numbers=bmm)
+            wnew = dot(jnp.where(same_leaf8, wd, f32(0.0)), diag_pp - s,
+                       dimension_numbers=bmm)
+            return jnp.where(rowsel, wnew, wd)
+
+        wd = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_P // 8), blkp, wd)
+        uw = dot(blk, wd, dimension_numbers=bmm)         # blk lower is 0
+        wd = wd + dot(wd, diag_pp - uw, dimension_numbers=bmm)
+
+        a_ref[:, rb0 + p0:rb0 + p0 + _P,
+              base + p0:base + p0 + _P] = blk
         if p0 + _P < _T:
-            upan = a_ref[:, rb0 + p0:rb0 + p0 + _P, base:base + _T]
-            ucols = a_ref[:, rb0 + p0:rb0 + p0 + _P,
+            # slab trailing lanes: U_rest = W_PP^T A_rest (one MXU trsm);
+            # the slab's leading lanes [0, p0) keep stale values — every
+            # downstream read masks/slices the upper triangle
+            arest = a_ref[:, rb0 + p0:rb0 + p0 + _P,
                           base + p0 + _P:base + _T]      # [Bt,P,T-p0-P]
-            g = dot(ucols, upan, dimension_numbers=bmm_t)
-            a_ref[:, rb0 + p0 + _P:rb0 + _T, base:base + _T] = (
-                a_ref[:, rb0 + p0 + _P:rb0 + _T, base:base + _T] - g)
+            urest = dot(wd, arest, dimension_numbers=bmm_t)
+            a_ref[:, rb0 + p0:rb0 + p0 + _P,
+                  base + p0 + _P:base + _T] = urest
+            ucols = a_ref[:, rb0 + p0:rb0 + p0 + _P,
+                          base + p0 + _P:base + _T]
+            g = dot(ucols, ucols, dimension_numbers=bmm_t)
+            a_ref[:, rb0 + p0 + _P:rb0 + _T,
+                  base + p0 + _P:base + _T] = (
+                a_ref[:, rb0 + p0 + _P:rb0 + _T,
+                      base + p0 + _P:base + _T] - g)
 
     utile = a_ref[:, rb0:rb0 + _T, base:base + _T]
     uii_rows = jnp.sum(jnp.where(diag_tt > 0, utile, f32(0.0)),
@@ -242,14 +302,14 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
 
     def leaf_step(t, carry):
         il = jnp.int32(7) - t
-        wd = a_ref[:, rb0:rb0 + _T, winv:winv + _T]
+        wd = wr[:, rb0:rb0 + _T, winv:winv + _T]
         ut = a_ref[:, rb0:rb0 + _T, base:base + _T]
         rowsel = sub_mod == il
         umask = rowsel & same_leaf & (lane_mod > il)
         s = dot(jnp.where(umask, ut, f32(0.0)), wd,
                 dimension_numbers=bmm)                    # [Bt,T,T]
         wnew = (diag_tt - s) / uii_rows
-        a_ref[:, rb0:rb0 + _T, winv:winv + _T] = \
+        wr[:, rb0:rb0 + _T, winv:winv + _T] = \
             jnp.where(rowsel, wnew, wd)
         return carry
 
@@ -257,7 +317,7 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
 
     def blk_step(t, carry):
         i = jnp.int32(_T // 8 - 1) - t
-        w = a_ref[:, rb0:rb0 + _T, winv:winv + _T]
+        w = wr[:, rb0:rb0 + _T, winv:winv + _T]
         ut = a_ref[:, rb0:rb0 + _T, base:base + _T]
         rowsel = sub_blk == i
         fmask = rowsel & (lane_blk > i)
@@ -265,7 +325,7 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
                 dimension_numbers=bmm)                    # [Bt,T,T]
         wnew = dot(jnp.where(same_leaf, w, f32(0.0)), diag_tt - s,
                    dimension_numbers=bmm)
-        a_ref[:, rb0:rb0 + _T, winv:winv + _T] = \
+        wr[:, rb0:rb0 + _T, winv:winv + _T] = \
             jnp.where(rowsel, wnew, w)
         return carry
 
@@ -276,11 +336,11 @@ def _factor_tile_and_invert(a_ref, base, winv, logdet, Bt, rbase=None):
     # masked-recurrence inverse (two MXU matmuls; the raw combine's noise
     # was enough to strand ill-conditioned experts at the L-BFGS iteration
     # cap via inaccurate trsm values / W-based gradients)
-    w = a_ref[:, rb0:rb0 + _T, winv:winv + _T]
+    w = wr[:, rb0:rb0 + _T, winv:winv + _T]
     ut = jnp.where(lane_t >= sub_t, a_ref[:, rb0:rb0 + _T,
                                           base:base + _T], f32(0.0))
     uw = dot(ut, w, dimension_numbers=bmm)
-    a_ref[:, rb0:rb0 + _T, winv:winv + _T] = \
+    wr[:, rb0:rb0 + _T, winv:winv + _T] = \
         w + dot(w, diag_tt - uw, dimension_numbers=bmm)
     return logdet
 

@@ -1084,12 +1084,15 @@ def _sgpr_vg_kernel(xt_ref, yt_ref, zt_ref, p_ref, out_ref, a_ref, *,
     # ---- P6: Kbar_uu tile reductions --------------------------------------
     # Gamma1 = U_B W_u^T -> R4; Gamma2 = W_u W_B -> R5; e = W_u dd (row)
     for ib in range(mb):
-        # R2's strictly-lower tile blocks still hold stale B values (the P3
-        # accumulation filled the full symmetric matrix; factorisation only
-        # rewrites the upper blocks) — mask them off the U_B row read
+        # R2's strictly-lower entries hold stale values: lower tile blocks
+        # keep P3's symmetric B fill, and since the round-5 P-block factor
+        # restructure the within-tile below-diagonal is stale workspace
+        # too (the old column sweep wrote exact zeros there) — mask the
+        # U_B row read to the exact upper triangle
         ub_rows = a_ref[:, ib * _T:(ib + 1) * _T, o2:o2 + M]
-        if ib > 0:
-            ub_rows = jnp.where(lane_m >= ib * _T, ub_rows, f32(0.0))
+        sub_abs_ub = jax.lax.broadcasted_iota(
+            jnp.int32, (1, _T, 1), 1) + ib * _T
+        ub_rows = jnp.where(lane_m >= sub_abs_ub, ub_rows, f32(0.0))
         wu_full = a_ref[:, 0:M, o1:o1 + M]
         a_ref[:, ib * _T:(ib + 1) * _T, o4:o4 + M] = \
             dot(ub_rows, wu_full, dimension_numbers=kv_dims)
