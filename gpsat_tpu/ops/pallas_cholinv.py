@@ -76,9 +76,11 @@ def _group_size(M, B=None):
         bt1 = int(min(32, -(-int(B) // 8) * 8))
         if bt1 >= B and bt1 * (2 * M * M + _T * M) * 4 <= 100 * 2**20:
             return bt1
+    # G>1: both windows double-buffer; bt=24 at M=512 measured 116.11 MB
+    # scoped (108 KB over the limit) — cap at 16
     per = (4 * M * M + _T * M) * 4
-    bt = int((110 * 2**20) // per) // 8 * 8
-    return int(min(max(8, bt), 24))
+    bt = int((72 * 2**20) // per) // 8 * 8
+    return int(min(max(8, bt), 16))
 
 
 def _cholinv_kernel(a_in_ref, w_ref, ld_ref, strip_ref, *, M):
