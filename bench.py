@@ -527,8 +527,10 @@ def run_mode(model="gpr", measure_baseline=True):
         # pool slot batches tile the cholinv kernel's expert groups exactly.
         # Budget 3*2^24 elements (201 MB/temporary at the production shape):
         # the round-5 slot sweep measured 48 slots fastest — per-iteration
-        # cost has a large B-independent component (~7 ms: cholinv latency
-        # + pool fixed work), so wider pools amortise it (32: 2.23 s,
+        # cost has a large B-independent component (the vg's serial
+        # latency: B-quantized cholinv chains + issue-bound kernel ops;
+        # pool machinery itself is ~0.2 ms, pool_overhead_probe.py), so
+        # wider pools amortise it (32: 2.23 s,
         # 48: 1.95 s, 64: 2.31 s optimise+predict at E=128 — 64 pays an
         # extra cholinv grid step per call and loses the gain)
         B = min(E, max(1, (3 * 2**24) // (M * N)))
