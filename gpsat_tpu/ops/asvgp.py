@@ -132,8 +132,12 @@ def _boundary_q(kernel, lam):
     ]), 3
 
 
-_LAM_MULT = {"Matern12": 1.0, "Matern32": np.sqrt(3.0),
-             "Matern52": np.sqrt(5.0)}
+# python floats, NOT np.sqrt scalars: a numpy f64 scalar is a STRONG type in
+# jax promotion, so `np.sqrt(3.0) / lengthscale_f32` silently promoted lam —
+# and through it every Kuu block and the collapsed bound — to float64
+# (emulated ~100x slow on TPU; f64 LU is not even implemented on v5e)
+_LAM_MULT = {"Matern12": 1.0, "Matern32": float(np.sqrt(3.0)),
+             "Matern52": float(np.sqrt(5.0))}
 _PREF_C = {"Matern12": 2.0, "Matern32": 4.0, "Matern52": 16.0 / 3.0}
 
 

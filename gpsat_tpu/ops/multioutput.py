@@ -99,7 +99,7 @@ def predict_f(params, W, H, R, X, Y, mask, Xs, kernel="Matern32", jitter=0.0,
     # prior latent cov at Xs (block-diagonal over points)
     Kq_ss = latent_kernel_stack(params, Xs, Xs, kernel)
     prior = jnp.einsum("lq,rq,qss->slr", W, W,
-                       Kq_ss * jnp.eye(Ns)[None, :, :])    # [Ns, L, L]
+                       Kq_ss * jnp.eye(Ns, dtype=Kq_ss.dtype)[None, :, :])
     expl = (V.T @ V).reshape(Ns, L_dim, Ns, L_dim)
     expl_diag = jnp.einsum("slsr->slr", expl)
     cov = prior - expl_diag

@@ -35,7 +35,12 @@ def num_features(m):
 
 
 def _omegas(m, a, b):
-    ms = jnp.arange(m)
+    # dtype-anchored to the domain bounds: a bare jnp.arange is int64 under
+    # jax_enable_x64 and a weak-float multiply promotes it to float64, which
+    # silently dragged the WHOLE per-dim block math (and its [2m-1, 2m-1]
+    # LU/inv/slogdet) to f64 — emulated ~100x slow on TPU at best, and an
+    # outright compile error for f64 LuDecomposition on v5e
+    ms = jnp.arange(m, dtype=jnp.result_type(a, b))
     return 2.0 * jnp.pi * ms / (b - a)
 
 
@@ -45,12 +50,13 @@ def kuu_dense(kernel, lengthscale, variance, a, b, m, jitter=0.0):
     om = _omegas(m, a, b)
     om_sin = om[1:]
     span = b - a
+    dt = jnp.result_type(lengthscale, variance, a, b)
 
     if kernel == "Matern12":
         lam = 1.0 / lengthscale
         two_or_four = jnp.where(om == 0, 2.0, 4.0)
         d_cos = span * (lam**2 + om**2) / lam / variance / two_or_four
-        v_cos = jnp.ones(m) / jnp.sqrt(variance)
+        v_cos = jnp.ones(m, dt) / jnp.sqrt(variance)
         K_cos = jnp.diag(d_cos) + jnp.outer(v_cos, v_cos)
         d_sin = span * (lam**2 + om_sin**2) / lam / variance / 4.0
         K_sin = jnp.diag(d_sin)
@@ -58,7 +64,7 @@ def kuu_dense(kernel, lengthscale, variance, a, b, m, jitter=0.0):
         lam = jnp.sqrt(3.0) / lengthscale
         four_or_eight = jnp.where(om == 0, 4.0, 8.0)
         d_cos = span * (lam**2 + om**2) ** 2 / lam**3 / variance / four_or_eight
-        v_cos = jnp.ones(m) / jnp.sqrt(variance)
+        v_cos = jnp.ones(m, dt) / jnp.sqrt(variance)
         K_cos = jnp.diag(d_cos) + jnp.outer(v_cos, v_cos)
         d_sin = span * (lam**2 + om_sin**2) ** 2 / lam**3 / variance / 8.0
         v_sin = om_sin / lam / jnp.sqrt(variance)
@@ -67,7 +73,7 @@ def kuu_dense(kernel, lengthscale, variance, a, b, m, jitter=0.0):
         lam = jnp.sqrt(5.0) / lengthscale
         sixteen_or_32 = jnp.where(om == 0, 16.0, 32.0)
         v1 = (3.0 * (om / lam) ** 2 - 1.0) / jnp.sqrt(8.0 * variance)
-        v2 = jnp.ones(m) / jnp.sqrt(variance)
+        v2 = jnp.ones(m, dt) / jnp.sqrt(variance)
         d_cos = 3.0 * span / sixteen_or_32 / lam**5 / variance \
             * (lam**2 + om**2) ** 3
         K_cos = jnp.diag(d_cos) + jnp.outer(v1, v1) + jnp.outer(v2, v2)

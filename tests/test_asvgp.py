@@ -243,3 +243,24 @@ def test_asvgp_orchestrated_run(tmp_path):
     dfs, _ = get_results_from_h5file(store)
     assert "preds" in dfs and len(dfs["preds"]) == 1
     assert np.isfinite(dfs["preds"]["f*"]).all()
+
+
+def test_asvgp_f32_stays_f32():
+    """f32 inputs must not promote to f64 (the _LAM_MULT np.sqrt scalar was
+    a STRONG f64 type and promoted lam — and every Kuu block — under x64)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    X = jnp.asarray(rng.uniform(0.5, 5.5, (40, 1)), f32)
+    y = jnp.asarray(np.sin(np.asarray(X[:, 0])), f32)
+    mask = jnp.ones(40, bool)
+    a = jnp.asarray([0.0], f32)
+    b = jnp.asarray([6.0], f32)
+    params = {"lengthscales": jnp.asarray([0.5], f32),
+              "kernel_variance": jnp.asarray([1.0], f32),
+              "likelihood_variance": f32(0.1)}
+    val = asvgp_math.elbo(params, X, y, mask, a, b, (10,), "Matern32", 1e-6)
+    assert val.dtype == jnp.float32
+    pr = asvgp_math.predict(params, X, y, mask, X[:5], a, b, (10,),
+                            "Matern32", 1e-6)
+    assert all(v.dtype == jnp.float32 for v in pr.values())

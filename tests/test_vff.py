@@ -316,3 +316,25 @@ def test_vff_orchestrated_run(tmp_path):
     assert set(dfs["kernel_variance"]["_dim_0"]) == {0, 1}
     pred = dfs["preds"]
     assert abs(pred["f*"].iloc[0] + pred["f_bar"].iloc[0] - np.sin(0)) < 0.25
+
+
+def test_vff_f32_stays_f32():
+    """f32 inputs must NOT promote to f64 anywhere in the bound/predict
+    (under jax_enable_x64 a bare jnp.arange/jnp.ones is f64 and one strong
+    f64 leaf drags the whole program up — ~100x emulation on TPU, and the
+    per-dim [2m-1, 2m-1] f64 LU does not even compile on v5e)."""
+    X, y = make_1d(40)
+    f32 = jnp.float32
+    params = {"lengthscales": jnp.asarray([0.5], f32),
+              "kernel_variance": jnp.asarray([1.0], f32),
+              "likelihood_variance": f32(0.1)}
+    Xf = jnp.asarray(X, f32)
+    yf = jnp.asarray(y, f32)
+    mask = jnp.ones(Xf.shape[0], bool)
+    a = jnp.asarray([0.0], f32)
+    b = jnp.asarray([6.0], f32)
+    val = vff_math.elbo(params, Xf, yf, mask, a, b, (8,), "Matern32", 1e-6)
+    assert val.dtype == jnp.float32
+    pr = vff_math.predict(params, Xf, yf, mask, Xf[:5], a, b, (8,),
+                          "Matern32", 1e-6)
+    assert all(v.dtype == jnp.float32 for v in pr.values())
