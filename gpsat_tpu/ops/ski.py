@@ -42,9 +42,14 @@ def make_grid(X, grid_size, pad_cells=2):
     """Regular per-dim grids covering the data plus `pad_cells` cells of
     margin each side (the cubic stencil reads 2 nodes beyond the sample).
 
-    Returns (starts [d], steps [d]) for `grid_size` nodes per dim.
+    Returns (starts [d], steps [d]) for `grid_size` nodes per dim, in X's
+    float dtype — numpy f64 scalars are STRONG types in jax promotion, so
+    f64 grid anchors would silently drag an f32 model's whole SKI algebra
+    (W, Zg, Gram, solves) up to float64 on TPU.
     """
-    X = np.asarray(X, dtype=float)
+    X = np.asarray(X)
+    dt = X.dtype if np.issubdtype(X.dtype, np.floating) else np.float64
+    X = X.astype(np.float64, copy=False)
     lo = X.min(axis=0)
     hi = X.max(axis=0)
     span = np.maximum(hi - lo, 1e-12)
@@ -52,7 +57,7 @@ def make_grid(X, grid_size, pad_cells=2):
     assert inner >= 1, f"grid_size {grid_size} too small for pad {pad_cells}"
     steps = span / inner
     starts = lo - pad_cells * steps
-    return starts, steps
+    return starts.astype(dt), steps.astype(dt)
 
 
 def _keys_cubic(u):
