@@ -33,7 +33,36 @@ if not jax.config.jax_enable_x64:  # pragma: no cover - depends on env ordering
 # to compile (~1-2 min each) but fully shape-keyed — cache them across runs.
 _cache_dir = os.environ.get(
     "GPSAT_TPU_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "gpsat_tpu_jax"))
+
+
+def _restore_cache_snapshot(cache_dir):
+    """Re-image insurance: build hosts are periodically wiped back to the base
+    image, which destroys ~/.cache but preserves committed repo state. A cold
+    cache costs ~16 min of remote Mosaic compiles before the bench programs
+    run warm, which is longer than the bench driver's kill timeout. If the
+    cache dir is missing/empty and a committed snapshot tarball exists
+    (created by ``python tpu_stuff/snapshot_cache.py``), unpack it first.
+    Stale entries are harmless — unmatched keys are simply never read."""
+    snap = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "cache_snapshot", "gpsat_tpu_jax.tar.xz")
+    if not os.path.isfile(snap):
+        return
+    try:
+        if os.path.isdir(cache_dir) and os.listdir(cache_dir):
+            return  # live cache present; never clobber newer entries
+        import tarfile
+        os.makedirs(cache_dir, exist_ok=True)
+        with tarfile.open(snap, "r:xz") as tf:
+            try:
+                tf.extractall(cache_dir, filter="data")
+            except TypeError:  # pragma: no cover - older tarfile, no filter=
+                tf.extractall(cache_dir)
+    except Exception:  # pragma: no cover - insurance must never break import
+        pass
+
+
 if _cache_dir and _cache_dir != "0":
+    _restore_cache_snapshot(_cache_dir)
     try:  # pragma: no cover - depends on jax version/backend
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
